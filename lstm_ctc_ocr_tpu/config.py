@@ -1,0 +1,228 @@
+"""Three-tier config system: code defaults <- YAML file <- ``--set`` overrides.
+
+Re-implements the semantics of the reference config
+(``/root/reference/lib/lstm/config.py``): a global attribute-dict ``cfg``
+holding every hyperparameter, a recursive *typed* merge from a YAML file
+(unknown key -> KeyError, type mismatch -> ValueError; ``config.py:99-126``),
+dotted-path CLI overrides with ``literal_eval`` type checking
+(``config.py:136-156``), the charset codec (chars encoded 1..62, index 0 is
+the blank/space token; ``config.py:73-81``), and output/log directory
+resolution (``config.py:84-97``).
+
+The reference keys are preserved verbatim (so the reference's ``lstm.yml``
+parses unchanged); TPU-specific knobs are additive (``BUCKETS``,
+``CTC_IMPL``, ``LSTM_IMPL``, ``DECODER``, ``TRAIN.DTYPE`` ...).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from ast import literal_eval
+from time import localtime, strftime
+
+
+class AttrDict(dict):
+    """A dict whose items are also attributes (``easydict`` equivalent).
+
+    Nested dicts assigned into an ``AttrDict`` are converted recursively so
+    ``cfg.TRAIN.SOLVER`` style access works at every level.
+    """
+
+    def __init__(self, d=None, **kwargs):
+        super().__init__()
+        if d:
+            for k, v in dict(d).items():
+                self[k] = v
+        for k, v in kwargs.items():
+            self[k] = v
+
+    def __setitem__(self, key, value):
+        if isinstance(value, dict) and not isinstance(value, AttrDict):
+            value = AttrDict(value)
+        super().__setitem__(key, value)
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+    def __delattr__(self, key):
+        del self[key]
+
+
+__C = AttrDict()
+cfg = __C
+
+# ---------------------------------------------------------------------------
+# Defaults — key names and values mirror the reference
+# (/root/reference/lib/lstm/config.py:13-72) so its lstm.yml merges cleanly.
+# ---------------------------------------------------------------------------
+__C.GPU_ID = 1                 # kept for CLI compat; device choice is JAX's
+__C.GPU_USAGE = 0.9            # unused on TPU (XLA manages HBM); kept for yml compat
+__C.OFFSET_TIME_STEP = -1      # conv5 VALID shrinks T by 1: T = W//4 - 1
+__C.POOL_SCALE = 4             # two (2,2) pools halve width twice
+__C.IMG_SHAPE = [32, 100]
+__C.IMG_HEIGHT = 32
+__C.MAX_CHAR_LEN = 6
+__C.BLANK_TOKEN = 0
+__C.CHARSET = '0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'
+__C.NCLASSES = len(__C.CHARSET) + 2    # ref quirk preserved: only 0..62 used
+__C.MIN_LEN = 4
+__C.MAX_LEN = 6
+# The reference ships fonts/Ubuntu-M.ttf; we default to a system font but
+# honour a repo-local fonts/ dir if the user drops a ttf there.
+__C.FONT = '/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf'
+__C.NCHANNELS = 1
+__C.NUM_FEATURES = __C.IMG_HEIGHT * __C.NCHANNELS
+
+__C.NET_NAME = 'lstm'
+
+__C.TRAIN = AttrDict()
+__C.TRAIN.SOLVER = 'Adam'          # Adam | RMS | Momentum (train.py:74-76)
+__C.TRAIN.TXT = 'annotation_train.txt'
+__C.TRAIN.WEIGHT_DECAY = 0.0005
+__C.TRAIN.LEARNING_RATE = 0.01
+__C.TRAIN.MOMENTUM = 0.9
+__C.TRAIN.GAMMA = 0.1              # lr multiplier every STEPSIZE iters
+__C.TRAIN.STEPSIZE = 50000
+__C.TRAIN.DISPLAY = 10
+__C.TRAIN.LOG_IMAGE_ITERS = 100
+__C.TRAIN.NUM_EPOCHS = 2000
+__C.TRAIN.NUM_HID = 512            # BiLSTM: 2 directions x NUM_HID//2
+__C.TRAIN.NUM_LAYERS = 2
+__C.TRAIN.BATCH_SIZE = 64
+__C.TRAIN.SNAPSHOT_ITERS = 5000
+__C.TRAIN.SNAPSHOT_PREFIX = 'lstm'
+__C.TRAIN.SNAPSHOT_INFIX = ''
+# --- TPU-native additions -------------------------------------------------
+__C.TRAIN.GRAD_CLIP = 10.0         # ref hardcodes clip_by_global_norm(.., 10)
+__C.TRAIN.DTYPE = 'bfloat16'       # compute dtype on TPU; params stay fp32
+__C.TRAIN.NUM_WORKERS = 12         # host synth workers (gen.py: num_workers=12)
+__C.TRAIN.LOSS_MIN_SNAPSHOT = 0.015  # snapshot when loss dips below the
+                                     # tracked minimum (train.py:109,139-144)
+
+__C.VAL = AttrDict()
+__C.VAL.TXT = 'annotation_val.txt'
+__C.VAL.VAL_STEP = 1000
+__C.VAL.NUM_EPOCHS = 1000
+__C.VAL.BATCH_SIZE = 128
+__C.VAL.PRINT_NUM = 5
+
+__C.RNG_SEED = 3
+
+__C.ROOT_DIR = osp.abspath(osp.join(osp.dirname(__file__), '..'))
+__C.TEST = AttrDict()
+__C.EXP_DIR = 'default'
+__C.LOG_DIR = 'default'
+
+__C.SPACE_INDEX = 0
+__C.SPACE_TOKEN = ''
+
+# --- TPU-native additions (framework-level) --------------------------------
+# Width buckets: every host batch is right-padded to the smallest bucket that
+# fits, so XLA compiles one program per bucket instead of one per batch width.
+__C.BUCKETS = [64, 96, 128, 160, 192, 224, 256]
+__C.CTC_IMPL = 'pallas'        # 'pallas' | 'jax'   (Pallas kernel vs lax.scan)
+__C.LSTM_IMPL = 'jax'          # 'pallas' | 'jax'
+__C.DECODER = 'greedy'         # 'greedy' | 'beam'
+__C.BEAM_WIDTH = 16
+__C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'records' (dev path)
+__C.RECORDS_PATH = './data/train_4_6.records'
+
+
+def get_encode_decode_dict():
+    """Char<->id maps: chars at 1..len(CHARSET), blank/space at 0.
+
+    Mirrors /root/reference/lib/lstm/config.py:73-81.
+    """
+    encode_maps = {}
+    decode_maps = {}
+    for i, char in enumerate(__C.CHARSET, 1):
+        encode_maps[char] = i
+        decode_maps[i] = char
+    encode_maps[__C.SPACE_TOKEN] = __C.SPACE_INDEX
+    decode_maps[__C.SPACE_INDEX] = __C.SPACE_TOKEN
+    return encode_maps, decode_maps
+
+
+def get_output_dir(imdb, weights_filename=None):
+    """Checkpoint dir ``<ROOT>/output/<EXP_DIR>[/<weights>]`` (ref config.py:84-90)."""
+    outdir = osp.abspath(osp.join(__C.ROOT_DIR, 'output', __C.EXP_DIR))
+    if weights_filename is not None:
+        outdir = osp.join(outdir, weights_filename)
+    os.makedirs(outdir, exist_ok=True)
+    return outdir
+
+
+def get_log_dir(imdb):
+    """Timestamped TensorBoard dir ``<ROOT>/logs/<LOG_DIR>/<name>/<ts>`` (ref config.py:92-97)."""
+    log_dir = osp.abspath(osp.join(
+        __C.ROOT_DIR, 'logs', __C.LOG_DIR, imdb.name,
+        strftime('%Y-%m-%d-%H-%M-%S', localtime())))
+    os.makedirs(log_dir, exist_ok=True)
+    return log_dir
+
+
+def _merge_a_into_b(a, b):
+    """Recursive typed merge of AttrDict ``a`` into ``b`` (ref config.py:99-126).
+
+    Every key in ``a`` must already exist in ``b`` (KeyError otherwise) and
+    carry the same type (ValueError otherwise; int->float is allowed since
+    YAML writes ``1.0`` and ``1`` interchangeably for lr-style knobs).
+    """
+    if not isinstance(a, dict):
+        return
+    for k, v in a.items():
+        if k not in b:
+            raise KeyError('{} is not a valid config key'.format(k))
+        old_type = type(b[k])
+        if old_type is not type(v):
+            if isinstance(b[k], float) and isinstance(v, int):
+                v = float(v)
+            else:
+                raise ValueError('Type mismatch ({} vs. {}) for config key: {}'
+                                 .format(type(b[k]), type(v), k))
+        if isinstance(v, AttrDict):
+            try:
+                _merge_a_into_b(a[k], b[k])
+            except Exception:
+                print('Error under config key: {}'.format(k))
+                raise
+        else:
+            b[k] = v
+
+
+def cfg_from_file(filename):
+    """Load a YAML config file and merge it into the defaults (ref config.py:128-134)."""
+    import yaml
+    with open(filename, 'r') as f:
+        yaml_cfg = AttrDict(yaml.safe_load(f))
+    _merge_a_into_b(yaml_cfg, __C)
+
+
+def cfg_from_list(cfg_list):
+    """Set config keys from a flat ``[K, V, K, V, ...]`` list (ref config.py:136-156)."""
+    assert len(cfg_list) % 2 == 0
+    for k, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        key_list = k.split('.')
+        d = __C
+        for subkey in key_list[:-1]:
+            assert subkey in d, '{} is not a valid config key'.format(k)
+            d = d[subkey]
+        subkey = key_list[-1]
+        assert subkey in d, '{} is not a valid config key'.format(k)
+        try:
+            value = literal_eval(v)
+        except Exception:
+            value = v  # plain string literal
+        if isinstance(d[subkey], float) and isinstance(value, int):
+            value = float(value)
+        assert type(value) == type(d[subkey]), \
+            'type {} does not match original type {}'.format(
+                type(value), type(d[subkey]))
+        d[subkey] = value

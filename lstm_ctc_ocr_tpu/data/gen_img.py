@@ -1,0 +1,49 @@
+"""Offline labeled dataset generator (reference: lib/utils/genImg.py).
+
+Writes ``{index:08d}_{label}.png`` captcha files into a directory — the
+filename-encoded label format consumed by the eval driver
+(lib/lstm/test.py:82) and the records writer (lib/lstm/utils/tf_records.py:54).
+
+The reference fans out with ``multiprocessing.Pool(12)`` (genImg.py:13,35);
+we size the pool by core count and fall back to inline on 1-core hosts.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from multiprocessing import Pool, cpu_count
+
+from ..config import cfg
+from .captcha import ImageCaptcha
+from .gen import gen_rand
+
+_out_dir = './data/val'
+
+
+def generate_one(ind: int) -> str:
+    rng = random.Random(ind * 9176 + 11)
+    chars = gen_rand(rng)
+    captcha = ImageCaptcha(fonts=[cfg.FONT])
+    path = os.path.join(_out_dir, '{:08d}_{}.png'.format(ind, chars))
+    captcha.write(chars, path, rng=rng)
+    return path
+
+
+def run(num: int, out_dir: str = './data/val', workers: int | None = None) -> None:
+    global _out_dir
+    _out_dir = out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    if workers is None:
+        workers = max(cpu_count() - 1, 0)
+    if workers <= 1:
+        for i in range(num):
+            generate_one(i)
+    else:
+        with Pool(workers) as pool:
+            pool.map(generate_one, range(num))
+    print('wrote {} images to {}'.format(num, out_dir))
+
+
+if __name__ == '__main__':
+    run(500, './data/val')

@@ -1,0 +1,105 @@
+"""Data pipeline: captcha renderer, reference batcher semantics, bucketing."""
+
+import random
+
+import numpy as np
+import pytest
+
+from lstm_ctc_ocr_tpu.config import cfg, get_encode_decode_dict
+from lstm_ctc_ocr_tpu.data.captcha import ImageCaptcha
+from lstm_ctc_ocr_tpu.data import gen
+
+
+def _rng():
+    return random.Random(1234)
+
+
+def test_captcha_renders_rgb_and_scales_width():
+    cap = ImageCaptcha(fonts=[cfg.FONT])
+    im = cap.generate_image('aZ3x', rng=_rng())
+    assert im.mode == 'RGB'
+    assert im.size == (160, 60)  # default canvas, like the captcha lib
+    long_im = cap.generate_image('a' * 24, rng=_rng())
+    assert long_im.size[0] > 400  # canvas widens for long-line configs
+
+
+def test_captcha_has_ink():
+    cap = ImageCaptcha(fonts=[cfg.FONT])
+    arr = np.asarray(cap.generate_image('test99', rng=_rng()).convert('L'))
+    # light background, dark glyphs: expect a real spread of intensities
+    assert arr.max() > 200 and arr.min() < 120
+    assert (arr < 140).mean() > 0.02  # at least 2% dark pixels
+
+
+def test_gen_rand_length_and_charset():
+    r = _rng()
+    for _ in range(50):
+        s = gen.gen_rand(r)
+        assert cfg.MIN_LEN <= len(s) <= cfg.MAX_LEN
+        assert all(c in cfg.CHARSET for c in s)
+
+
+def test_group_batch_reference_semantics():
+    """Golden checks of gen.py:41-67: resize, pad-to-x4, /255, transpose, flat labels."""
+    enc, _ = get_encode_decode_dict()
+    # two synthetic grayscale "images" of known sizes
+    img1 = np.full((60, 160), 255, np.uint8)   # -> resized W = int(32/60*160)=85
+    img2 = np.full((60, 100), 128, np.uint8)   # -> resized W = int(32/60*100)=53
+    batch, label_vec, label_len, time_steps = gen.group_batch(
+        [img1, img2], ['ab', 'c0z'])
+    # resized widths 85, 53 -> max 85 -> padded to ceil(85/4)*4 = 88
+    assert all(b.shape == (88, 32) for b in batch)
+    # time_step = nw//4 - 1 on the *unpadded* width (gen.py:54)
+    assert time_steps == [85 // 4 - 1, 53 // 4 - 1]
+    assert label_len == [2, 3]
+    assert label_vec == [enc['a'], enc['b'], enc['c'], enc['0'], enc['z']]
+    # normalisation and zero right-pad
+    assert batch[0].max() <= 1.0
+    assert np.allclose(batch[1][53:, :], 0.0)   # padded region is black
+    assert batch[0].dtype == np.float32
+
+
+def test_pick_bucket():
+    assert gen.pick_bucket(60, [64, 128]) == 64
+    assert gen.pick_bucket(64, [64, 128]) == 64
+    assert gen.pick_bucket(65, [64, 128]) == 128
+    assert gen.pick_bucket(300, [64, 128]) == 512  # doubles past the largest
+
+
+def test_bucket_batch_shapes_and_labels():
+    enc, _ = get_encode_decode_dict()
+    img1 = np.full((60, 160), 200, np.uint8)
+    img2 = np.full((60, 100), 200, np.uint8)
+    b = gen.bucket_batch([img1, img2], ['ab', 'c0z'], buckets=[96, 128])
+    assert b.image.shape == (2, 96, 32)     # 85 fits in bucket 96
+    assert b.label.shape[0] == 2
+    assert b.label_len.tolist() == [2, 3]
+    assert b.time_step.tolist() == [85 // 4 - 1, 53 // 4 - 1]
+    assert b.label[0, :2].tolist() == [enc['a'], enc['b']]
+    assert b.label[0, 2:].tolist() == [0] * (b.label.shape[1] - 2)
+    assert b.flat_labels.tolist() == [enc['a'], enc['b'], enc['c'], enc['0'], enc['z']]
+
+
+def test_generator_inline_stream():
+    g = gen.get_batch(num_workers=0, batch_size=4, rng=_rng())
+    b1 = next(g)
+    b2 = next(g)
+    assert b1.image.shape[0] == 4
+    assert b1.image.shape[2] == 32
+    assert b1.image.shape[1] in gen.pick_bucket(b1.image.shape[1]) * np.array([1])
+    assert (b1.label_len >= cfg.MIN_LEN).all() and (b1.label_len <= cfg.MAX_LEN).all()
+    assert not np.array_equal(b1.image, b2.image)
+    g.close()
+
+
+def test_metrics_accuracy_and_label_helpers():
+    from lstm_ctc_ocr_tpu.utils.metrics import (accuracy_calculation,
+                                                merge_labels, restore_labels)
+    org = [[1, 2, 3], [4, 5]]
+    dec = [[1, 2, 3, 0, 0], [4, 0, 5]]  # 0s are stripped before compare
+    assert accuracy_calculation(org, dec, ignore_value=0, isPrint=False) == 1.0
+    dec_bad = [[1, 2], [4, 5]]
+    assert accuracy_calculation(org, dec_bad, ignore_value=0, isPrint=False) == 0.5
+    flat = [1, 2, 3, 4, 5]
+    assert restore_labels(flat, [3, 2]) == [[1, 2, 3], [4, 5]]
+    assert merge_labels([[1, 2, 0, 0], [3, 0]]).tolist() == [1, 2, 3]
