@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Evaluation CLI — flag surface mirrors /root/reference/lstm/test_net.py:19-38."""
+
+import argparse
+import os.path
+import pprint
+import sys
+
+this_dir = os.path.dirname(__file__)
+sys.path.insert(0, os.path.join(this_dir, '..'))
+
+import numpy as np
+
+from lstm_ctc_ocr_tpu.config import (AttrDict, cfg, cfg_from_file,
+                                     cfg_from_list, get_log_dir,
+                                     get_output_dir)
+from lstm_ctc_ocr_tpu.engine.test import test_net
+from lstm_ctc_ocr_tpu.models.factory import get_network
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Test a lstm network')
+    parser.add_argument('--gpu', dest='gpu_id',
+                        help='device id to use [0]', default=0, type=int)
+    parser.add_argument('--cfg', dest='cfg_file',
+                        help='optional config file', default=None, type=str)
+    parser.add_argument('--network', dest='network_name',
+                        help='name of the network', default=None, type=str)
+    parser.add_argument('--set', dest='set_cfgs',
+                        help='set config keys', default=None,
+                        nargs=argparse.REMAINDER)
+    parser.add_argument('--restore', dest='restore',
+                        help='restore or not', default=1, type=int)
+    parser.add_argument('--test_dir', dest='test_dir',
+                        help='directory of labeled test images',
+                        default='./data/val/', type=str)
+    if len(sys.argv) == 1:
+        parser.print_help()
+    return parser.parse_args()
+
+
+if __name__ == '__main__':
+    args = parse_args()
+    print('Called with args:')
+    print(args)
+    if args.cfg_file is not None:
+        cfg_from_file(args.cfg_file)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs)
+
+    print('Using config:')
+    pprint.pprint(cfg)
+
+    np.random.seed(cfg.RNG_SEED)
+
+    output_network_name = args.network_name.split('_')[-1]
+    imgdb = AttrDict({'name': 'lstm_' + output_network_name})
+
+    output_dir = get_output_dir(imgdb, None)
+    log_dir = get_log_dir(imgdb)
+
+    network = get_network(args.network_name)
+    print('Use network `{:s}` in testing'.format(args.network_name))
+
+    test_net(network, imgdb,
+             testDir=args.test_dir,
+             output_dir=output_dir,
+             log_dir=log_dir,
+             restore=bool(int(args.restore)))

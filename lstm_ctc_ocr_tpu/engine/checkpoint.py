@@ -1,0 +1,120 @@
+"""Step-numbered checkpoints with restore-latest-and-resume semantics.
+
+Contract mirrors the reference Saver flow (lib/lstm/train.py:18,23-37,96-106):
+snapshots named ``{SNAPSHOT_PREFIX}_ctc{_INFIX}_iter_{step}.ckpt.npz`` in
+``output/<EXP_DIR>/``, resume picks the checkpoint with the highest step
+parsed from the filename and returns that step (the reference parses the
+filename too, train.py:101-102). Old snapshots are kept (Saver
+max_to_keep=100 -> we keep ``max_to_keep`` newest).
+
+Storage is a flat .npz: pytree leaves keyed by their tree path — portable,
+dependency-free, and convertible to a plain ``.npy`` dict
+(tools/convert_ckpt2npy.py, the reference's lib/utils/convert_ckpt2npy.py).
+
+Consciously fixed reference quirk: low-loss snapshots were saved as
+``iter_2`` (train.py:142), corrupting filename-parsed resume; we always
+save the true step.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import cfg
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, 'key'):
+            parts.append(str(p.key))
+        elif hasattr(p, 'idx'):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return '/'.join(parts)
+
+
+def flatten_state(state) -> Dict[str, np.ndarray]:
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    return {_path_str(path): np.asarray(leaf) for path, leaf in leaves}
+
+
+def unflatten_like(template, flat: Dict[str, np.ndarray]):
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in paths_leaves:
+        key = _path_str(path)
+        if key not in flat:
+            raise KeyError('checkpoint missing parameter: {}'.format(key))
+        arr = flat[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError('shape mismatch for {}: ckpt {} vs model {}'
+                             .format(key, arr.shape, np.shape(leaf)))
+        new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def snapshot_name(step: int) -> str:
+    infix = ('_' + cfg.TRAIN.SNAPSHOT_INFIX) if cfg.TRAIN.SNAPSHOT_INFIX else ''
+    return '{}_ctc{}_iter_{:d}.ckpt.npz'.format(
+        cfg.TRAIN.SNAPSHOT_PREFIX, infix, step)
+
+
+_CKPT_RE = re.compile(r'_iter_(\d+)\.ckpt\.npz$')
+
+
+def save(state, output_dir: str, step: int, max_to_keep: int = 100) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    fname = os.path.join(output_dir, snapshot_name(step))
+    flat = flatten_state(state)
+    tmp = fname + '.tmp'
+    with open(tmp, 'wb') as f:
+        np.savez(f, **flat)
+    os.replace(tmp, fname)
+    # prune beyond max_to_keep (Saver parity, train.py:18)
+    ckpts = sorted(list_checkpoints(output_dir), key=lambda x: x[1])
+    for path, _ in ckpts[:-max_to_keep] if max_to_keep else []:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+    return fname
+
+
+def list_checkpoints(output_dir: str):
+    out = []
+    if not os.path.isdir(output_dir):
+        return out
+    for f in os.listdir(output_dir):
+        m = _CKPT_RE.search(f)
+        if m:
+            out.append((os.path.join(output_dir, f), int(m.group(1))))
+    return out
+
+
+def latest_checkpoint(output_dir: str) -> Optional[Tuple[str, int]]:
+    ckpts = list_checkpoints(output_dir)
+    if not ckpts:
+        return None
+    return max(ckpts, key=lambda x: x[1])
+
+
+def restore(template, path: str):
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    return unflatten_like(template, flat)
+
+
+def restore_latest(template, output_dir: str):
+    """Returns (state, step) from the newest snapshot, or (None, 0)."""
+    found = latest_checkpoint(output_dir)
+    if found is None:
+        return None, 0
+    path, step = found
+    return restore(template, path), step

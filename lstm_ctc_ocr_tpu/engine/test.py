@@ -1,0 +1,139 @@
+"""Evaluation driver: decode a directory of labeled images.
+
+Role-equivalent of the reference SolverWrapper.test_model/test_net
+(/root/reference/lib/lstm/test.py:27-101): restore the latest checkpoint
+from the output dir, then for every image file — grayscale read, width
+right-padded to a multiple of POOL_SCALE and /255 (test.py:61-70), decode
+with the configured CTC decoder, parse the ground truth from the
+``{idx}_{label}.png`` filename (test.py:82), report per-image latency and
+exact-match accuracy (test.py:84-88).
+
+TPU-first differences (documented, deliberate):
+* images are padded to a width *bucket* so XLA compiles a handful of
+  programs instead of one per distinct width, and eval can batch;
+* time_step = W//4 - 1, consistent with training (the reference uses W//4
+  at eval, an off-by-one vs its own training batcher — gen.py:54 vs
+  test.py:74 — that TF's decoder tolerates only incidentally);
+* decoder is greedy or beam per ``cfg.DECODER`` (the reference hardwires
+  beam search, test.py:30).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import cfg, get_encode_decode_dict
+from ..data.gen import pick_bucket
+from ..utils.timer import Timer
+from . import checkpoint
+from .train import compute_dtype, make_decode_step
+
+
+def decode_ids(nums, decode_maps=None, ignore=0) -> str:
+    if decode_maps is None:
+        _, decode_maps = get_encode_decode_dict()
+    return ''.join(decode_maps[int(i)] for i in np.asarray(nums).ravel()
+                   if int(i) != ignore)
+
+
+def load_image(path: str) -> np.ndarray:
+    import cv2
+    flag = 0 if cfg.NCHANNELS == 1 else 1
+    img = cv2.imread(path, flag)
+    if img is None:
+        raise IOError('cannot read image: {}'.format(path))
+    return img
+
+
+def prepare_single(img: np.ndarray, bucketed: bool = True):
+    """Reference test.py:61-70 preprocessing, with optional bucket padding.
+
+    Returns (image [1, W_pad, 32] float32, time_step [1] int32).
+    Eval-time images are resized to height IMG_HEIGHT first when needed
+    (offline datasets are rendered at height 60 like the generator's input).
+    """
+    import cv2
+    h, w = img.shape[:2]
+    if h != cfg.IMG_HEIGHT:
+        w = int(cfg.IMG_HEIGHT / h * w)
+        img = cv2.resize(img, (w, cfg.IMG_HEIGHT))
+    if bucketed:
+        width = pick_bucket(w)
+    else:
+        width = math.ceil(w / cfg.POOL_SCALE) * cfg.POOL_SCALE
+    img = cv2.copyMakeBorder(img, 0, 0, 0, width - w, cv2.BORDER_CONSTANT,
+                             value=0).astype(np.float32) / 255.0
+    img = img.swapaxes(0, 1).reshape(1, width, cfg.NUM_FEATURES)
+    time_step = np.array([w // cfg.POOL_SCALE + cfg.OFFSET_TIME_STEP], np.int32)
+    return img, time_step
+
+
+class SolverWrapper:
+    def __init__(self, network, imgdb, output_dir, logdir, pretrained_model=None):
+        self.net = network
+        self.imgdb = imgdb
+        self.output_dir = output_dir
+        self.pretrained_model = pretrained_model
+
+    def test_model(self, testDir=None, restore=True):
+        from .train import enable_persistent_compile_cache
+        enable_persistent_compile_cache()
+        dtype = compute_dtype()
+        n, w0 = 1, int(cfg.BUCKETS[0])
+        params = self.net.init_params(
+            jax.random.PRNGKey(cfg.RNG_SEED),
+            {'data': (n, w0, cfg.NUM_FEATURES), 'time_step_len': (n,)})
+        if restore:
+            found = checkpoint.latest_checkpoint(self.output_dir)
+            if found is None:
+                raise RuntimeError('no checkpoint found in {}'.format(self.output_dir))
+            path, step = found
+            print('Restoring from {}...'.format(path), end=' ')
+            # extra flat keys (opt_state/...) in the snapshot are ignored
+            params = checkpoint.restore({'params': params}, path)['params']
+            print('done (step {})'.format(step))
+
+        decode_step = make_decode_step(self.net, dtype)
+        _, decode_maps = get_encode_decode_dict()
+
+        timer = Timer()
+        total = correct = 0
+        latencies: List[float] = []
+        files = sorted(os.listdir(testDir))
+        for fname in files:
+            timer.tic()
+            total += 1
+            img = load_image(os.path.join(testDir, fname))
+            image, time_step = prepare_single(img)
+            res_ids = np.asarray(decode_step(params, jnp.asarray(image),
+                                             jnp.asarray(time_step)))[0]
+            res = decode_ids(res_ids, decode_maps)
+            org = fname.split('.')[0].split('_')[1]
+            if org == res:
+                correct += 1
+            diff = timer.toc(average=False)
+            latencies.append(diff)
+            print('{} cost time: {:.3f},\n    res: {}'.format(fname, diff, res))
+        acc = correct / max(total, 1)
+        p50 = float(np.percentile(latencies, 50)) if latencies else 0.0
+        print('total acc:{}/{}={:.4f}'.format(correct, total, acc))
+        print('p50 decode latency: {:.4f}s'.format(p50))
+        return acc, p50
+
+
+def test_net(network, imgdb, testDir, output_dir, log_dir,
+             pretrained_model=None, restore=True):
+    """Entry point mirroring reference test.py:91-100."""
+    sw = SolverWrapper(network, imgdb, output_dir, log_dir,
+                       pretrained_model=pretrained_model)
+    print('Solving...')
+    result = sw.test_model(testDir=testDir, restore=restore)
+    print('done solving')
+    return result

@@ -1,0 +1,235 @@
+"""Training driver: jitted train step, snapshot/restore, in-loop validation.
+
+Role-equivalent of the reference SolverWrapper/train_net
+(/root/reference/lib/lstm/train.py:10-174) with the TF1 session loop
+replaced by a single donated ``jax.jit`` train step compiled once per width
+bucket:
+
+* optimizer select Adam/RMS/Momentum (train.py:74-76) via optax, global-norm
+  gradient clip 10 (train.py:79-83), step lr decay ``lr *= GAMMA`` every
+  STEPSIZE iters (train.py:114-115) as a schedule;
+* loss = mean per-example CTC + L2 regularization collection
+  (network.py:653-662);
+* display cadence with loss/lr/speed (train.py:135-138), snapshot every
+  SNAPSHOT_ITERS or on a new loss minimum below 0.015 (train.py:139-144;
+  quirk fixed: we snapshot the true step, not "iter 2"), validation on a
+  cached first val batch every VAL_STEP (train.py:145-162);
+* restore-latest + resume-step contract (train.py:96-106) via
+  ``checkpoint.restore_latest`` — optimizer state included (TF Saver parity).
+
+Host->device: the synth workers produce fixed-shape bucketed batches
+(data/gen.py) so the per-step transfer is the only host boundary; XLA sees
+one static program per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import cfg
+from ..data.gen import get_batch, max_label_len
+from ..ops.ctc import ctc_loss
+from ..ops.decoder import greedy_decode
+from ..utils.metrics import accuracy_calculation
+from ..utils.timer import Timer
+from . import checkpoint
+from .summary import SummaryWriter
+
+
+def enable_persistent_compile_cache():
+    """XLA compiles of the train step run minutes on TPU; cache them on disk
+    so restarts (resume, eval, bench) reuse compiled executables."""
+    try:
+        cache_dir = os.path.join(cfg.ROOT_DIR, '.jax_cache')
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    except Exception as e:  # older jax versions: non-fatal
+        print('persistent compile cache unavailable:', e)
+
+
+def lr_schedule(step):
+    """lr = LEARNING_RATE * GAMMA^(step // STEPSIZE) (train.py:114-115)."""
+    e = jnp.asarray(step) // cfg.TRAIN.STEPSIZE
+    return cfg.TRAIN.LEARNING_RATE * jnp.power(cfg.TRAIN.GAMMA, e.astype(jnp.float32))
+
+
+def make_optimizer():
+    solver = cfg.TRAIN.SOLVER
+    if solver == 'Adam':
+        opt = optax.adam(lr_schedule, eps=1e-8)
+    elif solver == 'RMS':
+        opt = optax.rmsprop(lr_schedule, decay=0.9, eps=1e-10)
+    else:  # Momentum
+        opt = optax.sgd(lr_schedule, momentum=cfg.TRAIN.MOMENTUM)
+    return optax.chain(optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP), opt)
+
+
+def compute_dtype():
+    return {'bfloat16': jnp.bfloat16, 'float32': None}.get(
+        str(cfg.TRAIN.DTYPE), None)
+
+
+def make_loss_fn(net, dtype):
+    def loss_fn(params, image, label, label_len, time_step, rng):
+        out = net.apply(params, {'data': image, 'time_step_len': time_step},
+                        train=True, rng=rng, dtype=dtype)
+        logits = jnp.transpose(out['logits'], (1, 0, 2))   # [N, T, C]
+        losses = ctc_loss(logits, label, label_len, time_step)
+        ctc = jnp.mean(losses)                             # train.py:... reduce_mean
+        total = ctc + net.regularization_loss(params)
+        return total, ctc
+    return loss_fn
+
+
+def make_train_step(net, tx, dtype):
+    loss_fn = make_loss_fn(net, dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, image, label, label_len, time_step, rng):
+        (total, ctc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, image, label, label_len, time_step, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, ctc
+
+    return train_step
+
+
+def make_decode_step(net, dtype):
+    @jax.jit
+    def decode_step(params, image, time_step):
+        out = net.apply(params, {'data': image, 'time_step_len': time_step},
+                        train=False, dtype=dtype)
+        logits = jnp.transpose(out['logits'], (1, 0, 2))
+        if cfg.DECODER == 'beam':
+            from ..ops.beam import beam_decode
+            return beam_decode(logits, time_step, beam_width=cfg.BEAM_WIDTH)
+        return greedy_decode(logits, time_step)
+    return decode_step
+
+
+def effective_workers(requested: int) -> int:
+    """Scale worker count to the host: a 1-core box runs inline."""
+    try:
+        import multiprocessing
+        cores = multiprocessing.cpu_count()
+    except Exception:
+        cores = 1
+    if cores <= 1:
+        return 0
+    return min(requested, max(cores - 1, 1))
+
+
+class SolverWrapper:
+    """Training orchestrator (reference lib/lstm/train.py:10-162)."""
+
+    def __init__(self, network, imgdb, pre_train, output_dir, logdir):
+        self.net = network
+        self.imgdb = imgdb
+        self.pre_train = pre_train
+        self.output_dir = output_dir
+        self.writer = SummaryWriter(logdir, flush_secs=5)
+
+    def snapshot(self, state, step):
+        fname = checkpoint.save(state, self.output_dir, step, max_to_keep=100)
+        print('Wrote snapshot to: {:s}'.format(fname))
+
+    def train_model(self, max_iters, restore=False):
+        enable_persistent_compile_cache()
+        dtype = compute_dtype()
+        bucket0 = int(cfg.BUCKETS[0])
+        n = int(cfg.TRAIN.BATCH_SIZE)
+        rng = jax.random.PRNGKey(cfg.RNG_SEED)
+        rng, init_rng = jax.random.split(rng)
+        params = self.net.init_params(
+            init_rng, {'data': (n, bucket0, cfg.NUM_FEATURES),
+                       'time_step_len': (n,)})
+        tx = make_optimizer()
+        opt_state = tx.init(params)
+
+        restore_iter = 1
+        if restore:
+            state, step = checkpoint.restore_latest(
+                {'params': params, 'opt_state': opt_state}, self.output_dir)
+            if state is None:
+                raise RuntimeError(
+                    'restore requested but no checkpoint in {}'.format(self.output_dir))
+            params, opt_state = state['params'], state['opt_state']
+            restore_iter = step
+            print('Restored step {} from {}'.format(step, self.output_dir))
+        elif self.pre_train:
+            params = checkpoint.restore(params, self.pre_train)
+            print('Loaded pre-trained weights from {}'.format(self.pre_train))
+
+        train_step = make_train_step(self.net, tx, dtype)
+        decode_step = make_decode_step(self.net, dtype)
+
+        workers = effective_workers(int(cfg.TRAIN.NUM_WORKERS))
+        train_gen = get_batch(num_workers=workers, seed=cfg.RNG_SEED,
+                              batch_size=n, bucketed=True)
+        val_gen = get_batch(num_workers=min(workers, 1), seed=cfg.RNG_SEED + 7,
+                            batch_size=int(cfg.VAL.BATCH_SIZE), bucketed=True)
+
+        timer = Timer()
+        loss_min = float(cfg.TRAIN.LOSS_MIN_SNAPSHOT)
+        val_batch = None
+        try:
+            for it in range(restore_iter, max_iters):
+                timer.tic()
+                b = next(train_gen)
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, total, ctc = train_step(
+                    params, opt_state, jnp.asarray(b.image),
+                    jnp.asarray(b.label), jnp.asarray(b.label_len),
+                    jnp.asarray(b.time_step), step_rng)
+                ctc_val = float(ctc)
+                self.writer.add_scalar('loss', ctc_val, it)
+                diff = timer.toc(average=False)
+
+                if it % cfg.TRAIN.DISPLAY == 0:
+                    lr_now = float(lr_schedule(it))
+                    print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
+                          (it, max_iters, ctc_val, lr_now), end=' ')
+                    print('speed: {:.3f}s / iter'.format(diff), flush=True)
+
+                new_min = ctc_val < loss_min
+                if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0 or new_min:
+                    if new_min:
+                        print('loss: ', ctc_val, end=' ')
+                        loss_min = ctc_val
+                    self.snapshot({'params': params, 'opt_state': opt_state}, it + 1)
+
+                if (it + 1) % cfg.VAL.VAL_STEP == 0 or new_min:
+                    if val_batch is None:  # cached first batch (train.py:146-149)
+                        val_batch = next(val_gen)
+                    vb = val_batch
+                    dec = np.asarray(decode_step(params, jnp.asarray(vb.image),
+                                                 jnp.asarray(vb.time_step)))
+                    org = [vb.label[i, :vb.label_len[i]].tolist()
+                           for i in range(vb.label.shape[0])]
+                    acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
+                    self.writer.add_scalar('val_accuracy', acc, it)
+                    print('accuracy: {:.5f}'.format(acc), flush=True)
+        finally:
+            train_gen.close()
+            val_gen.close()
+            self.writer.close()
+        return params, opt_state
+
+
+def train_net(network, imgdb, pre_train, output_dir, log_dir,
+              max_iters=40000, restore=False):
+    """Entry point mirroring reference train.py:165-174."""
+    sw = SolverWrapper(network, imgdb, pre_train, output_dir, log_dir)
+    print('Solving...')
+    result = sw.train_model(max_iters, restore=restore)
+    print('done solving')
+    return result

@@ -1,0 +1,246 @@
+"""Chained layer DSL building functional (init, apply) models.
+
+Mirrors the reference's Network DSL surface
+(/root/reference/lib/networks/network.py:19-95): subclasses define
+``setup()`` with a ``self.feed('data').conv_single(...).max_pool(...)``
+chain, layer outputs are recorded by name, and ``feed`` re-roots the chain
+(accepting multiple names for multi-input layers like ``bi_lstm``).
+
+Underneath it is nothing like TF1 graph mode: each chained call records a
+spec; ``init_params(rng, input_shapes)`` walks the specs with analytic
+shape inference and returns a parameter *pytree*; ``apply(params, inputs)``
+is a pure function suitable for ``jax.jit`` / ``jax.grad`` / ``pjit``.
+
+Reference quirks preserved: duplicate layer names overwrite in the output
+dict but not in the chain (the reference's double 'pool2',
+LSTM_train.py:27,30), and auto-naming via ``get_unique_name``
+(network.py:87-89).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import cfg
+from . import layers as L
+
+
+@dataclass
+class LayerSpec:
+    name: str
+    kind: str
+    inputs: List[str]
+    kwargs: Dict[str, Any]
+    has_params: bool
+    reg_keys: Tuple[str, ...] = ()   # param keys that carry L2 weight decay
+
+
+def layer(op):
+    """DSL method decorator: consume ``self.inputs``, record a spec, re-feed
+    the layer's name for chaining (the reference's @layer, network.py:19-38)."""
+    def wrapped(self, *args, **kwargs):
+        name = kwargs.pop('name', None) or self.get_unique_name(op.__name__)
+        spec = op(self, list(self.inputs), name, *args, **kwargs)
+        self.specs.append(spec)
+        self.layer_order.append(name)
+        self.inputs = [name]
+        return self
+    return wrapped
+
+
+class Network:
+    """Base class; subclasses define the graph in ``setup()``."""
+
+    input_names: Sequence[str] = ('data', 'time_step_len')
+
+    def __init__(self, trainable: bool = True):
+        self.trainable = trainable
+        self.specs: List[LayerSpec] = []
+        self.layer_order: List[str] = []
+        self.inputs: List[str] = []
+        self._name_counts: Dict[str, int] = {}
+        self._shapes: Dict[str, Tuple[int, ...]] = {}
+        self.reg_paths: List[Tuple[str, str]] = []
+        self.setup()
+
+    def setup(self):
+        raise NotImplementedError('Must be subclassed (network.py:16-17)')
+
+    # -- chaining ------------------------------------------------------------
+
+    def feed(self, *names: str) -> 'Network':
+        for n in names:
+            assert isinstance(n, str), 'feed() takes layer/input names'
+        self.inputs = list(names)
+        return self
+
+    def get_unique_name(self, prefix: str) -> str:
+        self._name_counts[prefix] = self._name_counts.get(prefix, 0) + 1
+        return '{}_{}'.format(prefix, self._name_counts[prefix])
+
+    # -- layer vocabulary ------------------------------------------------------
+
+    @layer
+    def conv_single(self, inputs, name, k_h, k_w, c_o, s_h, s_w, c_i=None,
+                    bn=False, biased=True, relu=True, padding='SAME',
+                    trainable=True):
+        return LayerSpec(name, 'conv_single', inputs,
+                         dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
+                              c_i=c_i, bn=bn, biased=biased, relu=relu,
+                              padding=padding),
+                         has_params=True, reg_keys=('kernel',))
+
+    @layer
+    def max_pool(self, inputs, name, k_h, k_w, s_h, s_w, padding='SAME'):
+        return LayerSpec(name, 'max_pool', inputs,
+                         dict(k_h=k_h, k_w=k_w, s_h=s_h, s_w=s_w,
+                              padding=padding), has_params=False)
+
+    @layer
+    def avg_pool(self, inputs, name, k_h, k_w, s_h, s_w, padding='SAME'):
+        return LayerSpec(name, 'avg_pool', inputs,
+                         dict(k_h=k_h, k_w=k_w, s_h=s_h, s_w=s_w,
+                              padding=padding), has_params=False)
+
+    @layer
+    def reshape_squeeze_layer(self, inputs, name, d):
+        return LayerSpec(name, 'reshape_squeeze', inputs, dict(d=d),
+                         has_params=False)
+
+    @layer
+    def bi_lstm(self, inputs, name, num_hids, num_layers, trainable=True):
+        return LayerSpec(name, 'bi_lstm', inputs,
+                         dict(num_hids=num_hids, num_layers=num_layers,
+                              nclasses=cfg.NCLASSES),
+                         has_params=True, reg_keys=('weights',))
+
+    @layer
+    def lstm(self, inputs, name, num_hids, num_layers, trainable=True):
+        return LayerSpec(name, 'lstm', inputs,
+                         dict(num_hids=num_hids, num_layers=num_layers,
+                              nclasses=cfg.NCLASSES),
+                         has_params=True, reg_keys=('weights',))
+
+    @layer
+    def fc(self, inputs, name, num_out, relu=True, trainable=True):
+        return LayerSpec(name, 'fc', inputs, dict(num_out=num_out, relu=relu),
+                         has_params=True, reg_keys=('weights',))
+
+    @layer
+    def softmax(self, inputs, name):
+        return LayerSpec(name, 'softmax', inputs, {}, has_params=False)
+
+    @layer
+    def dropout(self, inputs, name, keep_prob):
+        return LayerSpec(name, 'dropout', inputs, dict(keep_prob=keep_prob),
+                         has_params=False)
+
+    # -- build ----------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array,
+                    input_shapes: Dict[str, Tuple[int, ...]]):
+        """Walk the specs with shape inference; return the parameter pytree."""
+        shapes = dict(input_shapes)
+        params: Dict[str, Any] = {}
+        self.reg_paths = []
+        for spec in self.specs:
+            in_shapes = [shapes[n] for n in spec.inputs]
+            rng, sub = jax.random.split(rng)
+            p, out_shape = self._init_layer(spec, sub, in_shapes)
+            if p is not None:
+                params[spec.name] = p
+                for k in spec.reg_keys:
+                    self.reg_paths.append((spec.name, k))
+            shapes[spec.name] = out_shape
+        self._shapes = shapes
+        return params
+
+    def _init_layer(self, spec, rng, in_shapes):
+        kw = spec.kwargs
+        if spec.kind == 'conv_single':
+            s = in_shapes[0]
+            if len(s) == 3:
+                s = s + (kw['c_i'] or 1,)
+            return L.conv_single_init(rng, s, kw['k_h'], kw['k_w'], kw['c_o'],
+                                      kw['s_h'], kw['s_w'], kw['c_i'],
+                                      kw['bn'], kw['biased'], kw['padding'])
+        if spec.kind in ('max_pool', 'avg_pool'):
+            return None, L.pool_out_shape(in_shapes[0], kw['k_h'], kw['k_w'],
+                                          kw['s_h'], kw['s_w'], kw['padding'])
+        if spec.kind == 'reshape_squeeze':
+            n, w, h, c = in_shapes[0]
+            assert h * c == kw['d'] or w * h * c % kw['d'] == 0, \
+                'reshape_squeeze: {}x{}x{} not divisible into d={}'.format(w, h, c, kw['d'])
+            return None, (n, w * h * c // kw['d'], kw['d'])
+        if spec.kind == 'bi_lstm':
+            return L.bi_lstm_init(rng, in_shapes[0], kw['num_hids'],
+                                  kw['num_layers'], kw['nclasses'],
+                                  cfg.TRAIN.WEIGHT_DECAY)
+        if spec.kind == 'lstm':
+            return L.lstm_init(rng, in_shapes[0], kw['num_hids'],
+                               kw['num_layers'], kw['nclasses'],
+                               cfg.TRAIN.WEIGHT_DECAY)
+        if spec.kind == 'fc':
+            return L.fc_init(rng, in_shapes[0], kw['num_out'])
+        if spec.kind in ('softmax', 'dropout'):
+            return None, in_shapes[0]
+        raise ValueError('unknown layer kind: ' + spec.kind)
+
+    # -- forward ----------------------------------------------------------------
+
+    def apply(self, params, inputs: Dict[str, jnp.ndarray], train: bool = False,
+              rng: Optional[jax.Array] = None, dtype=None) -> Dict[str, jnp.ndarray]:
+        """Pure forward pass. Returns every named layer output
+        (``get_output`` parity, network.py:79-85)."""
+        ctx = {'train': train, 'dtype': dtype}
+        outputs: Dict[str, jnp.ndarray] = dict(inputs)
+        for spec in self.specs:
+            xs = [outputs[n] for n in spec.inputs]
+            if spec.kind == 'dropout' and train:
+                rng, sub = jax.random.split(rng)
+                ctx = dict(ctx, rng=sub)
+            outputs[spec.name] = self._apply_layer(spec, params.get(spec.name),
+                                                   xs, ctx)
+        return outputs
+
+    def _apply_layer(self, spec, p, xs, ctx):
+        kw = spec.kwargs
+        if spec.kind == 'conv_single':
+            return L.conv_single_apply(p, xs[0], ctx, **kw)
+        if spec.kind == 'max_pool':
+            return L.max_pool_apply(xs[0], ctx, **kw)
+        if spec.kind == 'avg_pool':
+            return L.avg_pool_apply(xs[0], ctx, **kw)
+        if spec.kind == 'reshape_squeeze':
+            return L.reshape_squeeze_apply(xs[0], ctx, **kw)
+        if spec.kind == 'bi_lstm':
+            return L.bi_lstm_apply(p, xs[0], xs[1], ctx, **kw)
+        if spec.kind == 'lstm':
+            return L.lstm_apply(p, xs[0], xs[1], ctx, **kw)
+        if spec.kind == 'fc':
+            return L.fc_apply(p, xs[0], ctx, **kw)
+        if spec.kind == 'softmax':
+            return L.softmax_apply(xs[0], ctx)
+        if spec.kind == 'dropout':
+            return L.dropout_apply(xs[0], ctx, **kw)
+        raise ValueError('unknown layer kind: ' + spec.kind)
+
+    # -- losses ------------------------------------------------------------------
+
+    def regularization_loss(self, params) -> jnp.ndarray:
+        """Sum of L2 penalties on conv kernels and projection weights —
+        the reference's REGULARIZATION_LOSSES collection (network.py:630-637,
+        660-662): wd * sum(w^2) / 2 per regularized tensor."""
+        wd = cfg.TRAIN.WEIGHT_DECAY
+        total = jnp.float32(0.0)
+        for layer_name, key in self.reg_paths:
+            w = params[layer_name][key]
+            total = total + wd * 0.5 * jnp.sum(jnp.square(w.astype(jnp.float32)))
+        return total
+
+    def output_shape(self, name: str):
+        return self._shapes.get(name)

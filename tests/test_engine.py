@@ -1,0 +1,118 @@
+"""Engine: checkpoint save/restore-latest contract, TB event writer format,
+optimizer/schedule semantics, and a short CPU training smoke run."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_checkpoint_roundtrip_and_latest(tmp_path):
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+    state = {'params': {'a': jnp.arange(6.0).reshape(2, 3),
+                        'b': {'c': jnp.ones((4,))}},
+             'opt_state': {'mu': jnp.zeros((2, 3))}}
+    d = str(tmp_path)
+    checkpoint.save(state, d, 10)
+    state2 = jax.tree.map(lambda x: x * 2, state)
+    checkpoint.save(state2, d, 20)
+    # restore_latest picks the highest parsed step (train.py:98-103 contract)
+    restored, step = checkpoint.restore_latest(state, d)
+    assert step == 20
+    np.testing.assert_array_equal(np.asarray(restored['params']['a']),
+                                  np.asarray(state2['params']['a']))
+    # partial template restore (eval path: params only)
+    p = checkpoint.restore({'params': state['params']},
+                           checkpoint.latest_checkpoint(d)[0])
+    np.testing.assert_array_equal(np.asarray(p['params']['b']['c']),
+                                  np.asarray(state2['params']['b']['c']))
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+    d = str(tmp_path)
+    checkpoint.save({'w': jnp.zeros((2, 2))}, d, 1)
+    with pytest.raises(ValueError):
+        checkpoint.restore({'w': jnp.zeros((3, 3))},
+                           checkpoint.latest_checkpoint(d)[0])
+
+
+def test_summary_writer_tf_readable(tmp_path):
+    """Events written by our pure-python writer parse with TF's reader."""
+    from lstm_ctc_ocr_tpu.engine.summary import SummaryWriter
+    import tensorflow as tf
+    d = str(tmp_path)
+    w = SummaryWriter(d)
+    w.add_scalar('loss', 1.5, 3)
+    w.add_scalar('loss', 0.5, 7)
+    w.close()
+    events = []
+    for raw in tf.data.TFRecordDataset(w.path):
+        ev = tf.compat.v1.Event()
+        ev.ParseFromString(raw.numpy())
+        events.append(ev)
+    assert events[0].file_version == 'brain.Event:2'
+    scalars = [(e.step, e.summary.value[0].tag, e.summary.value[0].simple_value)
+               for e in events[1:]]
+    assert scalars == [(3, 'loss', 1.5), (7, 'loss', 0.5)]
+
+
+def test_lr_schedule_step_decay():
+    import copy
+    from lstm_ctc_ocr_tpu.config import cfg
+    from lstm_ctc_ocr_tpu.engine.train import lr_schedule
+    old = copy.deepcopy(dict(cfg.TRAIN))
+    try:
+        cfg.TRAIN.LEARNING_RATE = 0.01
+        cfg.TRAIN.GAMMA = 0.1
+        cfg.TRAIN.STEPSIZE = 100
+        assert float(lr_schedule(0)) == pytest.approx(0.01)
+        assert float(lr_schedule(99)) == pytest.approx(0.01)
+        assert float(lr_schedule(100)) == pytest.approx(0.001)
+        assert float(lr_schedule(250)) == pytest.approx(0.0001)
+    finally:
+        cfg.TRAIN.clear()
+        for k, v in old.items():
+            cfg.TRAIN[k] = v
+
+
+def test_train_step_reduces_loss():
+    """A few steps on one repeated small batch must reduce the CTC loss."""
+    import copy
+    from lstm_ctc_ocr_tpu.config import cfg
+    old = copy.deepcopy(dict(cfg))
+    try:
+        cfg.TRAIN.LEARNING_RATE = 0.001
+        cfg.TRAIN.GAMMA = 1.0
+        cfg.TRAIN.DTYPE = 'float32'
+        from lstm_ctc_ocr_tpu.engine.train import (make_optimizer,
+                                                   make_train_step)
+        from lstm_ctc_ocr_tpu.models.factory import get_network
+        net = get_network('LSTM_train')
+        n, w = 4, 64
+        params = net.init_params(jax.random.PRNGKey(0),
+                                 {'data': (n, w, 32), 'time_step_len': (n,)})
+        tx = make_optimizer()
+        opt_state = tx.init(params)
+        step = make_train_step(net, tx, None)
+        rng = np.random.RandomState(0)
+        image = jnp.asarray(rng.rand(n, w, 32).astype(np.float32))
+        label = jnp.asarray(rng.randint(1, 11, size=(n, 6)).astype(np.int32))
+        label_len = jnp.asarray(np.full((n,), 4, np.int32))
+        time_step = jnp.asarray(np.full((n,), w // 4 - 1, np.int32))
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(8):
+            key, sub = jax.random.split(key)
+            params, opt_state, total, ctc = step(params, opt_state, image,
+                                                 label, label_len, time_step, sub)
+            losses.append(float(ctc))
+        assert losses[-1] < losses[0] * 0.9, losses
+        assert np.isfinite(losses).all()
+    finally:
+        cfg.clear()
+        for k, v in old.items():
+            cfg[k] = v
