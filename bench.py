@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark: captcha training throughput, images/sec/chip on real hardware.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Measures the jitted train step (forward + CTC + backward + Adam) on the
+default beta-branch config — variable-width alphanumeric captchas, batch
+64, bf16 compute — with host batches pre-rendered and cycled so the number
+is device throughput with a prefetched pipeline (the reference's 12 worker
+processes play the same role, lib/lstm/train.py:64).
+
+``vs_baseline`` compares against the reference's TF-on-CPU images/sec,
+measured once on this host by an equivalent TF2 graph (same conv/BiLSTM/CTC
+geometry; TF 1.0.1 cannot run here) and cached in bench_baseline.json.
+BASELINE.md target: >=10x.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_FILE = os.path.join(REPO, 'bench_baseline.json')
+
+
+def build_batches(batch, width, n_batches=4, seed=0):
+    import random
+    import numpy as np
+    from lstm_ctc_ocr_tpu.config import cfg
+    from lstm_ctc_ocr_tpu.data import gen
+    rng = random.Random(seed)
+    batches = []
+    for _ in range(n_batches):
+        imgs, labels = [], []
+        for _ in range(batch):
+            im, lab = gen.generate_img(rng)
+            imgs.append(im)
+            labels.append(lab)
+        batches.append(gen.bucket_batch(imgs, labels, buckets=[width]))
+    return batches
+
+
+def bench_tpu_train(steps=30, batch=64, width=96):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lstm_ctc_ocr_tpu.config import cfg
+    from lstm_ctc_ocr_tpu.engine.train import (compute_dtype,
+                                               enable_persistent_compile_cache,
+                                               make_optimizer, make_train_step)
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+
+    enable_persistent_compile_cache()
+    cfg.TRAIN.BATCH_SIZE = batch
+    net = get_network('LSTM_train')
+    params = net.init_params(jax.random.PRNGKey(0),
+                             {'data': (batch, width, 32), 'time_step_len': (batch,)})
+    tx = make_optimizer()
+    opt_state = tx.init(params)
+    step = make_train_step(net, tx, compute_dtype())
+
+    host_batches = build_batches(batch, width)
+    dev_batches = [tuple(jnp.asarray(a) for a in
+                         (b.image, b.label, b.label_len, b.time_step))
+                   for b in host_batches]
+
+    rng = jax.random.PRNGKey(0)
+    # warmup: compile + 2 steady steps
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, total, ctc = step(params, opt_state,
+                                             *dev_batches[i % len(dev_batches)], sub)
+    jax.block_until_ready(total)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, total, ctc = step(params, opt_state,
+                                             *dev_batches[i % len(dev_batches)], sub)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+    return steps * batch / dt
+
+
+def bench_tf_cpu_baseline(steps=4, batch=64, width=96):
+    """Equivalent TF2-CPU train step: the reference's stack on this host."""
+    os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+    import numpy as np
+    import tensorflow as tf
+    tf.config.set_visible_devices([], 'GPU')
+
+    t_frames = width // 4 - 1
+    inp = tf.keras.Input((width, 32, 1))
+    x = tf.keras.layers.Conv2D(64, 3, padding='same', activation='relu')(inp)
+    x = tf.keras.layers.MaxPool2D((2, 2))(x)
+    x = tf.keras.layers.Conv2D(128, 3, padding='same', activation='relu')(x)
+    x = tf.keras.layers.MaxPool2D((2, 2))(x)
+    x = tf.keras.layers.Conv2D(256, 3, padding='same', activation='relu')(x)
+    x = tf.keras.layers.Conv2D(256, 3, padding='same', activation='relu')(x)
+    x = tf.keras.layers.MaxPool2D((1, 2))(x)
+    x = tf.keras.layers.Conv2D(512, 3, padding='same')(x)
+    x = tf.keras.layers.BatchNormalization()(x, training=True)
+    x = tf.keras.layers.ReLU()(x)
+    x = tf.keras.layers.Conv2D(512, 3, padding='same')(x)
+    x = tf.keras.layers.BatchNormalization()(x, training=True)
+    x = tf.keras.layers.ReLU()(x)
+    x = tf.keras.layers.MaxPool2D((1, 2))(x)
+    x = tf.keras.layers.Conv2D(512, 2, padding='valid')(x)  # -> [N, W/4-1, 1, 512]
+    x = tf.keras.layers.Reshape((t_frames, 512))(x)
+    x = tf.keras.layers.Bidirectional(
+        tf.keras.layers.LSTM(256, return_sequences=True))(x)
+    logits = tf.keras.layers.Dense(64)(x)
+    model = tf.keras.Model(inp, logits)
+    opt = tf.keras.optimizers.Adam(1e-4)
+
+    rng = np.random.RandomState(0)
+    image = rng.rand(batch, width, 32, 1).astype(np.float32)
+    labels = rng.randint(1, 63, size=(batch, 6)).astype(np.int32)
+    label_len = np.full((batch,), 6, np.int32)
+    logit_len = np.full((batch,), t_frames, np.int32)
+
+    @tf.function
+    def train_step(image):
+        with tf.GradientTape() as tape:
+            lg = model(image, training=True)
+            loss = tf.reduce_mean(tf.nn.ctc_loss(
+                labels=labels, logits=lg, label_length=label_len,
+                logit_length=logit_len, logits_time_major=False, blank_index=0))
+        grads = tape.gradient(loss, model.trainable_variables)
+        grads, _ = tf.clip_by_global_norm(grads, 10.0)
+        opt.apply_gradients(zip(grads, model.trainable_variables))
+        return loss
+
+    train_step(image)  # trace/compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step(image)
+    dt = time.perf_counter() - t0
+    return steps * batch / dt
+
+
+def get_baseline(batch, width, refresh=False):
+    if not refresh and os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            d = json.load(f)
+        if d.get('batch') == batch and d.get('width') == width:
+            return d['images_per_sec']
+    ips = bench_tf_cpu_baseline(batch=batch, width=width)
+    with open(BASELINE_FILE, 'w') as f:
+        json.dump({'images_per_sec': ips, 'batch': batch, 'width': width,
+                   'what': 'TF2-CPU equivalent of the reference train step '
+                           '(conv+BiLSTM+ctc_loss+Adam), this host'}, f, indent=1)
+    return ips
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=30)
+    ap.add_argument('--batch', type=int, default=64)
+    ap.add_argument('--width', type=int, default=96)
+    ap.add_argument('--refresh-baseline', action='store_true')
+    args = ap.parse_args()
+
+    ips = bench_tpu_train(steps=args.steps, batch=args.batch, width=args.width)
+    try:
+        base = get_baseline(args.batch, args.width, refresh=args.refresh_baseline)
+    except Exception as e:
+        print('baseline measurement failed ({}); using cached or 1.0'.format(e),
+              file=sys.stderr)
+        base = 1.0
+    print(json.dumps({
+        'metric': 'captcha images/sec/chip (train)',
+        'value': round(ips, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(ips / base, 2),
+    }))

@@ -1,0 +1,92 @@
+"""Data parallelism on a virtual 8-device CPU mesh: the sharded train step
+must reproduce the single-device step bit-for-bit (same program, different
+partitioning; XLA inserts the grad psum / BN all-reduce)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lstm_ctc_ocr_tpu.config import cfg
+
+
+@pytest.fixture
+def f32_cfg():
+    old = copy.deepcopy(dict(cfg))
+    cfg.TRAIN.DTYPE = 'float32'
+    cfg.TRAIN.LEARNING_RATE = 0.001
+    cfg.TRAIN.GAMMA = 1.0
+    # Momentum (linear in grads) so cross-shard fp reduction order is not
+    # amplified by Adam's sign-like first-step update
+    cfg.TRAIN.SOLVER = 'Momentum'
+    yield
+    cfg.clear()
+    for k, v in old.items():
+        cfg[k] = v
+
+
+def _batch(n, w, rng):
+    image = rng.rand(n, w, 32).astype(np.float32)
+    label = rng.randint(1, 20, size=(n, 6)).astype(np.int32)
+    label_len = rng.randint(4, 7, size=(n,)).astype(np.int32)
+    time_step = np.full((n,), w // 4 - 1, np.int32)
+    return image, label, label_len, time_step
+
+
+def test_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_parallel_step_matches_single_device(f32_cfg):
+    from lstm_ctc_ocr_tpu.engine.train import make_optimizer, make_train_step
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+    from lstm_ctc_ocr_tpu.parallel import mesh as pmesh
+
+    net = get_network('LSTM_train')
+    n, w = 16, 64
+    params = net.init_params(jax.random.PRNGKey(0),
+                             {'data': (n, w, 32), 'time_step_len': (n,)})
+    tx = make_optimizer()
+    rng = np.random.RandomState(0)
+    image, label, label_len, time_step = _batch(n, w, rng)
+    key = jax.random.PRNGKey(42)
+
+    # single device
+    step1 = make_train_step(net, tx, None)
+    p1, o1 = jax.tree.map(jnp.copy, params), tx.init(params)
+    for _ in range(2):
+        p1, o1, total1, ctc1 = step1(p1, o1, jnp.asarray(image),
+                                     jnp.asarray(label), jnp.asarray(label_len),
+                                     jnp.asarray(time_step), key)
+
+    # 8-device DP
+    m = pmesh.make_mesh(8)
+    step8 = pmesh.make_parallel_train_step(net, tx, None, m)
+    p8, o8 = jax.tree.map(jnp.copy, params), tx.init(params)
+    sharded = pmesh.shard_batch(m, image, label, label_len, time_step)
+    for _ in range(2):
+        p8, o8, total8, ctc8 = step8(p8, o8, *sharded, key)
+
+    np.testing.assert_allclose(float(ctc1), float(ctc8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_parallel_decode(f32_cfg):
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+    from lstm_ctc_ocr_tpu.parallel import mesh as pmesh
+    net = get_network('LSTM_test')
+    n, w = 8, 64
+    params = net.init_params(jax.random.PRNGKey(1),
+                             {'data': (n, w, 32), 'time_step_len': (n,)})
+    m = pmesh.make_mesh(8)
+    dec = pmesh.make_parallel_decode_step(net, None, m)
+    rng = np.random.RandomState(1)
+    image, _, _, time_step = _batch(n, w, rng)
+    sh_img, sh_ts = pmesh.shard_batch(m, image, time_step)
+    out = np.asarray(dec(params, sh_img, sh_ts))
+    assert out.shape == (n, w // 4 - 1)
