@@ -131,8 +131,10 @@ __C.CTC_IMPL = 'pallas'        # 'pallas' | 'jax'   (Pallas kernel vs lax.scan)
 __C.LSTM_IMPL = 'jax'          # 'pallas' | 'jax'
 __C.DECODER = 'greedy'         # 'greedy' | 'beam'
 __C.BEAM_WIDTH = 16
-__C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'records' (dev path)
+__C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev path)
 __C.RECORDS_PATH = './data/train_4_6.records'
+__C.POOL_SIZE = 20000          # pre-rendered images for the 'pool' backend
+__C.POOL_REFRESH = 2           # images re-rendered per served batch
 
 
 def get_encode_decode_dict():

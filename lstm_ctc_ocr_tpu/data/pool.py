@@ -1,0 +1,62 @@
+"""Pooled synthetic sampler: amortize captcha rendering on weak hosts.
+
+The reference renders every training image fresh in 12 worker processes
+(gen.py:112-116) — with one host core that caps end-to-end training at
+~70 images/sec while the TPU step runs at >100k images/sec. The pool
+sampler pre-renders ``POOL_SIZE`` images once, then serves batches by
+sampling the pool, refreshing ``POOL_REFRESH`` images per batch so the
+pool slowly drifts toward fresh data. Statistically this sits between the
+beta branch (infinite fresh stream) and the dev branch (fixed dataset),
+and converges to the same accuracy with a large enough pool.
+
+Selected with ``cfg.DATA_BACKEND = 'pool'``.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..config import cfg
+from .gen import DeviceBatch, bucket_batch, generate_img
+
+
+class PoolSampler:
+    def __init__(self, size: int, seed: int = 0, verbose: bool = True):
+        self._rng = random.Random(seed)
+        self._np_rng = np.random.RandomState(seed)
+        self.images: List[np.ndarray] = []
+        self.labels: List[str] = []
+        if verbose:
+            print('rendering {} pool images...'.format(size), flush=True)
+        for i in range(size):
+            im, lab = generate_img(self._rng)
+            self.images.append(im)
+            self.labels.append(lab)
+            if verbose and (i + 1) % 5000 == 0:
+                print('  pool: {}/{}'.format(i + 1, size), flush=True)
+
+    def refresh(self, k: int) -> None:
+        for _ in range(k):
+            j = self._np_rng.randint(len(self.images))
+            im, lab = generate_img(self._rng)
+            self.images[j] = im
+            self.labels[j] = lab
+
+    def sample_batch(self, batch_size: int) -> DeviceBatch:
+        idx = self._np_rng.choice(len(self.images), size=batch_size,
+                                  replace=False)
+        return bucket_batch([self.images[i] for i in idx],
+                            [self.labels[i] for i in idx])
+
+    def batch_iterator(self, batch_size: int,
+                       refresh_per_batch: Optional[int] = None
+                       ) -> Iterator[DeviceBatch]:
+        if refresh_per_batch is None:
+            refresh_per_batch = int(cfg.POOL_REFRESH)
+        while True:
+            yield self.sample_batch(batch_size)
+            if refresh_per_batch:
+                self.refresh(refresh_per_batch)

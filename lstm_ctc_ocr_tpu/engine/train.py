@@ -142,6 +142,28 @@ class SolverWrapper:
         fname = checkpoint.save(state, self.output_dir, step, max_to_keep=100)
         print('Wrote snapshot to: {:s}'.format(fname))
 
+    def _make_train_stream(self, batch_size):
+        """Select the data backend (cfg.DATA_BACKEND).
+
+        'synth'   — fresh multiprocess captcha stream (beta path, gen.py)
+        'pool'    — pre-rendered pool with incremental refresh (weak hosts)
+        'records' — serialized dataset (dev path, tf_records.py equivalent)
+        """
+        backend = str(cfg.DATA_BACKEND)
+        if backend == 'records':
+            from ..data.records import RecordsDataset
+            ds = RecordsDataset(str(cfg.RECORDS_PATH))
+            print('records backend: {} examples from {}'.format(
+                len(ds), cfg.RECORDS_PATH))
+            return ds.batch_iterator(batch_size, shuffle=True, seed=cfg.RNG_SEED)
+        if backend == 'pool':
+            from ..data.pool import PoolSampler
+            pool = PoolSampler(int(cfg.POOL_SIZE), seed=cfg.RNG_SEED)
+            return pool.batch_iterator(batch_size)
+        workers = effective_workers(int(cfg.TRAIN.NUM_WORKERS))
+        return get_batch(num_workers=workers, seed=cfg.RNG_SEED,
+                         batch_size=batch_size, bucketed=True)
+
     def train_model(self, max_iters, restore=False):
         enable_persistent_compile_cache()
         dtype = compute_dtype()
@@ -172,10 +194,8 @@ class SolverWrapper:
         train_step = make_train_step(self.net, tx, dtype)
         decode_step = make_decode_step(self.net, dtype)
 
-        workers = effective_workers(int(cfg.TRAIN.NUM_WORKERS))
-        train_gen = get_batch(num_workers=workers, seed=cfg.RNG_SEED,
-                              batch_size=n, bucketed=True)
-        val_gen = get_batch(num_workers=min(workers, 1), seed=cfg.RNG_SEED + 7,
+        train_gen = self._make_train_stream(n)
+        val_gen = get_batch(num_workers=0, seed=cfg.RNG_SEED + 7,
                             batch_size=int(cfg.VAL.BATCH_SIZE), bucketed=True)
 
         timer = Timer()
