@@ -178,9 +178,12 @@ def _ctc_vjp_bwd(saved, dloss):
     # zero out padded timesteps (their g was a constant, not logp)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (t_len, n), 0)
     post = post * (t_idx < logit_lens[None, :]).astype(post.dtype)[:, :, None]
-    # scatter S-space -> class-space with a one-hot matmul (MXU-friendly)
+    # scatter S-space -> class-space with a one-hot matmul (MXU-friendly);
+    # HIGHEST precision: the TPU's default f32 matmul path rounds through
+    # bf16 passes, which would cost ~1e-3 of gradient conformance
     onehot = jax.nn.one_hot(ext, c, dtype=post.dtype)      # [N, S, C]
-    grad_logp = -jnp.einsum('tns,nsc->ntc', post, onehot)  # dL/dlogp
+    grad_logp = -jnp.einsum('tns,nsc->ntc', post, onehot,
+                            precision=jax.lax.Precision.HIGHEST)
     grad_logp = grad_logp * dloss[:, None, None]
     return grad_logp, None, None, None
 
