@@ -128,7 +128,7 @@ __C.SPACE_TOKEN = ''
 # fits, so XLA compiles one program per bucket instead of one per batch width.
 __C.BUCKETS = [64, 96, 128, 160, 192, 224, 256]
 __C.CTC_IMPL = 'pallas'        # 'pallas' | 'jax'   (Pallas kernel vs lax.scan)
-__C.LSTM_IMPL = 'jax'          # 'pallas' | 'jax'
+__C.LSTM_IMPL = 'pallas'       # 'pallas' | 'jax'   (fused VMEM-resident scan)
 __C.DECODER = 'greedy'         # 'greedy' | 'beam'
 __C.BEAM_WIDTH = 16
 __C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev path)

@@ -98,10 +98,15 @@ def bilstm(params, x: jnp.ndarray, lens: jnp.ndarray,
       [N, T, 2H] concat(fw, bw) outputs, zero past ``lens``
       (tf.nn.bidirectional_dynamic_rnn contract, network.py:107-109).
     """
+    from ..config import cfg
+    scan = lstm_scan
+    if str(cfg.LSTM_IMPL) == 'pallas':
+        from . import rnn_pallas
+        scan = rnn_pallas.lstm_scan
     x_tm = jnp.swapaxes(x, 0, 1)
-    out_fw = lstm_scan(params['fw'], x_tm, lens, forget_bias)
+    out_fw = scan(params['fw'], x_tm, lens, forget_bias)
     x_rev = reverse_sequence(x_tm, lens)
-    out_bw_rev = lstm_scan(params['bw'], x_rev, lens, forget_bias)
+    out_bw_rev = scan(params['bw'], x_rev, lens, forget_bias)
     out_bw = reverse_sequence(out_bw_rev, lens)
     out = jnp.concatenate([out_fw, out_bw], axis=-1)
     return jnp.swapaxes(out, 0, 1)

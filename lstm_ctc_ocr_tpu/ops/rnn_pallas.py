@@ -1,0 +1,308 @@
+"""Fused Pallas TPU kernel for the masked LSTM time scan.
+
+The ``cfg.LSTM_IMPL='pallas'`` variant of ``ops/rnn.py``'s ``lstm_scan`` —
+the recurrent half of the reference's ``bidirectional_dynamic_rnn``
+(/root/reference/lib/networks/network.py:104-109) as a hand-written kernel.
+
+Layout / performance shape:
+
+* the input projection ``x @ W`` stays **outside** the kernel as one large
+  ``[T*N, D] @ [D, 4H]`` MXU matmul (XLA), exactly like the scan version;
+* the kernel runs a sequential grid over **blocks of T_BLK=8 timesteps**.
+  A per-timestep grid leaves the core idle on grid/DMA bookkeeping (the
+  per-step recurrent matmul is ~0.2 us of MXU work); blocking amortises
+  that overhead 8x while keeping the streamed VMEM working set small.
+  Within a block the time loop is fully unrolled;
+* the recurrent weights ``U [H, 4H]`` map to the same VMEM block every
+  grid step — fetched from HBM once, resident for the whole scan; the
+  hidden/cell state carry lives in f32 VMEM scratch (scratch persists
+  across the sequential TPU grid);
+* matmuls run in the input dtype (bf16 on the training path) with f32
+  accumulation (``preferred_element_type``), gate math in f32 on the VPU;
+* the backward pass is a second blocked Pallas kernel scanning time in
+  reverse, accumulating ``dU``/``db`` in f32 VMEM scratch across the scan
+  and recomputing the cell tanh from saved gate activations.
+
+Residuals (gates i,j,f,o and the h/c state trajectories) are stored in the
+input dtype — in bf16 this matches what XLA's AD saves for the lax.scan
+version, and the f32 conformance tests run the f32 path end to end.
+Conformance vs the lax.scan implementation: tests/test_rnn_pallas.py.
+Off-TPU the kernels run in interpreter mode (tests; CPU dry-runs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_BLK = 8      # timesteps per grid step (time axis padded to a multiple)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+def _dot(a, b, trans_a=False, trans_b=False):
+    dims = ((((0,) if trans_a else (1,)), ((1,) if trans_b else (0,))),
+            ((), ()))
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
+# --- forward kernel -----------------------------------------------------------
+
+def _fwd_kernel(forget_bias, x_ref, u_ref, b_ref, lens_ref,
+                out_ref, gates_ref, hstate_ref, cstate_ref, h_scr, c_scr):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    u = u_ref[:]
+    bias = b_ref[:].astype(jnp.float32)
+    lens = lens_ref[:]
+    h_dim = h.shape[1]
+    cdt = u.dtype                        # compute dtype for the MXU
+
+    for k in range(T_BLK):               # static unroll
+        t = blk * T_BLK + k
+        gates = (x_ref[k].astype(jnp.float32)
+                 + _dot(h.astype(cdt), u) + bias)
+        i = jax.nn.sigmoid(gates[:, :h_dim])
+        j = jnp.tanh(gates[:, h_dim:2 * h_dim])
+        f = jax.nn.sigmoid(gates[:, 2 * h_dim:3 * h_dim] + forget_bias)
+        o = jax.nn.sigmoid(gates[:, 3 * h_dim:])
+        c_new = f * c + i * j
+        h_new = o * jnp.tanh(c_new)
+
+        live = (lens > t).astype(jnp.float32)            # [N, 1]
+        h = live * h_new + (1.0 - live) * h
+        c = live * c_new + (1.0 - live) * c
+
+        out_ref[k] = (live * h_new).astype(out_ref.dtype)
+        gates_ref[k] = jnp.concatenate([i, j, f, o],
+                                       axis=1).astype(gates_ref.dtype)
+        hstate_ref[k] = h.astype(hstate_ref.dtype)
+        cstate_ref[k] = c.astype(cstate_ref.dtype)
+
+    h_scr[:] = h
+    c_scr[:] = c
+
+
+def _fwd_call(x_proj, u, bias, lens, forget_bias):
+    t_pad, n, four_h = x_proj.shape
+    h_dim = four_h // 4
+    n_blk = t_pad // T_BLK
+    lens2 = lens.astype(jnp.int32).reshape(n, 1)
+    bias2 = bias.reshape(1, four_h)
+    rdt = x_proj.dtype                   # residual dtype
+    row = lambda i: (i, 0, 0)
+    const2 = lambda i: (0, 0)
+    out, gates, hstate, cstate = pl.pallas_call(
+        functools.partial(_fwd_kernel, float(forget_bias)),
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, n, four_h), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T_BLK, n, h_dim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, four_h), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, h_dim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, h_dim), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, four_h), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((n, h_dim), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x_proj, u, bias2, lens2)
+    return out, gates, hstate, cstate
+
+
+# --- backward kernel ----------------------------------------------------------
+
+def _bwd_kernel(dout_ref, gates_ref, hs_cur_ref, hs_prev_ref,
+                cs_cur_ref, cs_prev_ref, u_ref, lens_ref,
+                dx_ref, du_ref, db_ref, dh_scr, dc_scr, du_scr, db_scr):
+    rev = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    t_base = (n_blk - 1 - rev) * T_BLK
+
+    @pl.when(rev == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        du_scr[:] = jnp.zeros_like(du_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    u = u_ref[:]
+    cdt = u.dtype
+    lens = lens_ref[:]
+    h_dim = dh_scr.shape[1]
+    dh = dh_scr[:]
+    dc = dc_scr[:]
+    du_acc = jnp.zeros_like(du_scr)
+    db_acc = jnp.zeros_like(db_scr)
+
+    for k in reversed(range(T_BLK)):     # static unroll, time backwards
+        t = t_base + k
+        g = gates_ref[k].astype(jnp.float32)
+        i = g[:, :h_dim]
+        j = g[:, h_dim:2 * h_dim]
+        f = g[:, 2 * h_dim:3 * h_dim]
+        o = g[:, 3 * h_dim:]
+
+        if k > 0:
+            h_prev_raw = hs_cur_ref[k - 1]
+            c_prev_raw = cs_cur_ref[k - 1]
+        else:                            # crosses the block boundary
+            h_prev_raw = hs_prev_ref[T_BLK - 1]
+            c_prev_raw = cs_prev_ref[T_BLK - 1]
+        first = (t == 0).astype(jnp.float32)       # zero state before t=0
+        h_prev = (1.0 - first) * h_prev_raw.astype(jnp.float32)
+        c_prev = (1.0 - first) * c_prev_raw.astype(jnp.float32)
+
+        c_new = f * c_prev + i * j
+        tanh_c = jnp.tanh(c_new)
+
+        live = (lens > t).astype(jnp.float32)       # [N, 1]
+        g_hnew = live * (dh + dout_ref[k].astype(jnp.float32))
+        g_cnew = live * dc
+
+        do_ = g_hnew * tanh_c
+        dc_tot = g_cnew + g_hnew * o * (1.0 - tanh_c * tanh_c)
+        di = dc_tot * j
+        dj = dc_tot * i
+        df = dc_tot * c_prev
+
+        di_l = di * i * (1.0 - i)
+        dj_l = dj * (1.0 - j * j)
+        df_l = df * f * (1.0 - f)
+        do_l = do_ * o * (1.0 - o)
+        dg = jnp.concatenate([di_l, dj_l, df_l, do_l], axis=1)   # [N, 4H]
+
+        dx_ref[k] = dg.astype(dx_ref.dtype)
+        dg_c = dg.astype(cdt)
+        dh = _dot(dg_c, u, trans_b=True) + (1.0 - live) * dh
+        dc = dc_tot * f + (1.0 - live) * dc
+        du_acc = du_acc + _dot(h_prev.astype(cdt), dg_c, trans_a=True)
+        db_acc = db_acc + jnp.sum(dg, axis=0, keepdims=True)
+
+    dh_scr[:] = dh
+    dc_scr[:] = dc
+    du_scr[:] = du_scr[:] + du_acc
+    db_scr[:] = db_scr[:] + db_acc
+
+    @pl.when(rev == n_blk - 1)
+    def _():
+        du_ref[:] = du_scr[:]
+        db_ref[:] = db_scr[:]
+
+
+def _bwd_call(dout, gates, hstate, cstate, u, lens):
+    t_pad, n, four_h = gates.shape
+    h_dim = four_h // 4
+    n_blk = t_pad // T_BLK
+    lens2 = lens.astype(jnp.int32).reshape(n, 1)
+    rev_row = lambda r: (n_blk - 1 - r, 0, 0)
+    prev_row = lambda r: (jnp.maximum(n_blk - 2 - r, 0), 0, 0)
+    const2 = lambda r: (0, 0)
+    dx, du, db = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((T_BLK, n, h_dim), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, four_h), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, h_dim), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, h_dim), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, h_dim), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, n, h_dim), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T_BLK, n, four_h), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, n, four_h), dout.dtype),
+            jax.ShapeDtypeStruct((h_dim, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((1, four_h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((h_dim, four_h), jnp.float32),
+            pltpu.VMEM((1, four_h), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dout, gates, hstate, hstate, cstate, cstate, u, lens2)
+    return dx, du, db
+
+
+# --- custom-vjp scan core -----------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _scan_core(x_proj, u, bias, lens, forget_bias):
+    out, _, _, _ = _fwd_call(x_proj, u, bias, lens, forget_bias)
+    return out
+
+
+def _scan_core_fwd(x_proj, u, bias, lens, forget_bias):
+    out, gates, hstate, cstate = _fwd_call(x_proj, u, bias, lens, forget_bias)
+    return out, (gates, hstate, cstate, u, lens)
+
+
+def _scan_core_bwd(forget_bias, res, dout):
+    gates, hstate, cstate, u, lens = res
+    dx, du, db = _bwd_call(dout.astype(gates.dtype), gates, hstate, cstate,
+                           u, lens)
+    dlens = np.zeros(lens.shape, jax.dtypes.float0)
+    return (dx.astype(gates.dtype), du.astype(u.dtype),
+            db.reshape(-1).astype(u.dtype), dlens)
+
+
+_scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
+
+
+# --- public API (drop-in for rnn.lstm_scan) -----------------------------------
+
+def lstm_scan(params, x_tm: jnp.ndarray, lens: jnp.ndarray,
+              forget_bias: float = 1.0) -> jnp.ndarray:
+    """Masked unidirectional LSTM [T, N, D] -> [T, N, H], Pallas-fused.
+
+    Same contract as ``rnn.lstm_scan`` (TF1 LSTMCell gate math, dynamic_rnn
+    length masking); the input projection runs as one XLA MXU matmul and
+    the recurrence as the blocked fused kernel above. The time axis is
+    zero-padded to a multiple of T_BLK inside (padded steps are masked by
+    ``lens`` so state and outputs are unaffected).
+    """
+    t_len, n, d = x_tm.shape
+    four_h = params['kernel'].shape[1]
+    w = params['kernel'][:d]
+    u = params['kernel'][d:]
+    x_proj = (x_tm.reshape(t_len * n, d) @ w).reshape(t_len, n, four_h)
+    t_pad = -(-t_len // T_BLK) * T_BLK
+    if t_pad != t_len:
+        x_proj = jnp.pad(x_proj, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    out = _scan_core(x_proj, u, params['bias'], lens, float(forget_bias))
+    return out[:t_len]
