@@ -136,6 +136,11 @@ __C.RECORDS_PATH = './data/train_4_6.records'
 __C.POOL_SIZE = 20000          # pre-rendered images for the 'pool' backend
 __C.POOL_REFRESH = 2           # images re-rendered per served batch
 
+# jax.profiler trace capture (utils/profiler.py): set PROFILE_DIR to enable
+__C.PROFILE_DIR = ''           # e.g. 'logs/profile'; '' disables
+__C.PROFILE_START = 20         # first traced step (past compile/warmup)
+__C.PROFILE_STEPS = 10         # how many steps to trace
+
 
 def get_encode_decode_dict():
     """Char<->id maps: chars at 1..len(CHARSET), blank/space at 0.

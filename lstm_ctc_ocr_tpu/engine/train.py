@@ -38,6 +38,7 @@ from ..data.gen import get_batch, max_label_len
 from ..ops.ctc import ctc_loss
 from ..ops.decoder import greedy_decode
 from ..utils.metrics import accuracy_calculation
+from ..utils.profiler import StepProfiler
 from ..utils.timer import Timer
 from . import checkpoint
 from .summary import SummaryWriter
@@ -199,10 +200,12 @@ class SolverWrapper:
                             batch_size=int(cfg.VAL.BATCH_SIZE), bucketed=True)
 
         timer = Timer()
+        prof = StepProfiler()
         loss_min = float(cfg.TRAIN.LOSS_MIN_SNAPSHOT)
         val_batch = None
         try:
             for it in range(restore_iter, max_iters):
+                prof.step(it)
                 timer.tic()
                 b = next(train_gen)
                 rng, step_rng = jax.random.split(rng)
@@ -239,6 +242,7 @@ class SolverWrapper:
                     self.writer.add_scalar('val_accuracy', acc, it)
                     print('accuracy: {:.5f}'.format(acc), flush=True)
         finally:
+            prof.close()
             train_gen.close()
             val_gen.close()
             self.writer.close()
