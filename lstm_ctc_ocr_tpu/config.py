@@ -132,6 +132,7 @@ __C.LSTM_IMPL = 'pallas'       # 'pallas' | 'jax'   (fused VMEM-resident scan)
 __C.DECODER = 'greedy'         # 'greedy' | 'beam'
 __C.BEAM_WIDTH = 16
 __C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev path)
+__C.RENDERER = 'captcha'       # 'captcha' (reference parity) | 'scene' (photo-like)
 __C.RECORDS_PATH = './data/train_4_6.records'
 __C.POOL_SIZE = 20000          # pre-rendered images for the 'pool' backend
 __C.POOL_REFRESH = 2           # images re-rendered per served batch

@@ -36,11 +36,19 @@ def gen_rand(rng=None) -> str:
     return ''.join(rng.choice(cfg.CHARSET) for _ in range(n))
 
 
+def _renderer():
+    """Renderer per ``cfg.RENDERER``: 'captcha' (reference parity) or
+    'scene' (photo-like text lines, BASELINE config #5)."""
+    if str(cfg.RENDERER) == 'scene':
+        from .scene import SceneTextRenderer
+        return SceneTextRenderer(fonts=[cfg.FONT])
+    return ImageCaptcha(fonts=[cfg.FONT])
+
+
 def generate_img(rng=None) -> Tuple[np.ndarray, str]:
-    """Render one captcha -> (grayscale uint8 [H, W] array, label string)."""
+    """Render one text line -> (grayscale uint8 [H, W] array, label string)."""
     chars = gen_rand(rng)
-    captcha = ImageCaptcha(fonts=[cfg.FONT])
-    img = captcha.generate_image(chars, rng=rng)
+    img = _renderer().generate_image(chars, rng=rng)
     if cfg.NCHANNELS == 1:
         img = img.convert('L')
     return np.asarray(img), chars
