@@ -203,6 +203,44 @@ class SolverWrapper:
         prof = StepProfiler()
         loss_min = float(cfg.TRAIN.LOSS_MIN_SNAPSHOT)
         val_batch = None
+
+        # The loss scalar of step N is consumed after step N+1 is submitted:
+        # by then step N has finished on device, so float() never stalls the
+        # pipeline and the host renders batch N+2 while the device runs N+1.
+        # (The reference's sess.run returns loss synchronously every iter,
+        # train.py:121-130 — on TPU that would serialize host and device.)
+        pending = None                  # (it, ctc_array)
+
+        def process(it, ctc_arr):
+            nonlocal loss_min, val_batch
+            ctc_val = float(ctc_arr)
+            self.writer.add_scalar('loss', ctc_val, it)
+
+            if it % cfg.TRAIN.DISPLAY == 0:
+                lr_now = float(lr_schedule(it))
+                print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
+                      (it, max_iters, ctc_val, lr_now), end=' ')
+                print('speed: {:.3f}s / iter'.format(timer.diff), flush=True)
+
+            new_min = ctc_val < loss_min
+            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0 or new_min:
+                if new_min:
+                    print('loss: ', ctc_val, end=' ')
+                    loss_min = ctc_val
+                self.snapshot({'params': params, 'opt_state': opt_state}, it + 1)
+
+            if (it + 1) % cfg.VAL.VAL_STEP == 0 or new_min:
+                if val_batch is None:  # cached first batch (train.py:146-149)
+                    val_batch = next(val_gen)
+                vb = val_batch
+                dec = np.asarray(decode_step(params, jnp.asarray(vb.image),
+                                             jnp.asarray(vb.time_step)))
+                org = [vb.label[i, :vb.label_len[i]].tolist()
+                       for i in range(vb.label.shape[0])]
+                acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
+                self.writer.add_scalar('val_accuracy', acc, it)
+                print('accuracy: {:.5f}'.format(acc), flush=True)
+
         try:
             for it in range(restore_iter, max_iters):
                 prof.step(it)
@@ -213,34 +251,12 @@ class SolverWrapper:
                     params, opt_state, jnp.asarray(b.image),
                     jnp.asarray(b.label), jnp.asarray(b.label_len),
                     jnp.asarray(b.time_step), step_rng)
-                ctc_val = float(ctc)
-                self.writer.add_scalar('loss', ctc_val, it)
-                diff = timer.toc(average=False)
-
-                if it % cfg.TRAIN.DISPLAY == 0:
-                    lr_now = float(lr_schedule(it))
-                    print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
-                          (it, max_iters, ctc_val, lr_now), end=' ')
-                    print('speed: {:.3f}s / iter'.format(diff), flush=True)
-
-                new_min = ctc_val < loss_min
-                if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0 or new_min:
-                    if new_min:
-                        print('loss: ', ctc_val, end=' ')
-                        loss_min = ctc_val
-                    self.snapshot({'params': params, 'opt_state': opt_state}, it + 1)
-
-                if (it + 1) % cfg.VAL.VAL_STEP == 0 or new_min:
-                    if val_batch is None:  # cached first batch (train.py:146-149)
-                        val_batch = next(val_gen)
-                    vb = val_batch
-                    dec = np.asarray(decode_step(params, jnp.asarray(vb.image),
-                                                 jnp.asarray(vb.time_step)))
-                    org = [vb.label[i, :vb.label_len[i]].tolist()
-                           for i in range(vb.label.shape[0])]
-                    acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
-                    self.writer.add_scalar('val_accuracy', acc, it)
-                    print('accuracy: {:.5f}'.format(acc), flush=True)
+                timer.toc(average=False)
+                if pending is not None:
+                    process(*pending)
+                pending = (it, ctc)
+            if pending is not None:
+                process(*pending)
         finally:
             prof.close()
             train_gen.close()
