@@ -117,6 +117,7 @@ __C.RNG_SEED = 3
 
 __C.ROOT_DIR = osp.abspath(osp.join(osp.dirname(__file__), '..'))
 __C.TEST = AttrDict()
+__C.TEST.BATCH_SIZE = 1        # >1: bucket-grouped batched eval (TPU addition)
 __C.EXP_DIR = 'default'
 __C.LOG_DIR = 'default'
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -102,11 +102,15 @@ class SolverWrapper:
 
         decode_step = make_decode_step(self.net, dtype)
         _, decode_maps = get_encode_decode_dict()
+        files = sorted(os.listdir(testDir))
+        batch = int(cfg.TEST.BATCH_SIZE)
+        if batch > 1:
+            return self._test_batched(decode_step, params, decode_maps,
+                                      testDir, files, batch)
 
         timer = Timer()
         total = correct = 0
         latencies: List[float] = []
-        files = sorted(os.listdir(testDir))
         for fname in files:
             timer.tic()
             total += 1
@@ -126,6 +130,44 @@ class SolverWrapper:
         print('total acc:{}/{}={:.4f}'.format(correct, total, acc))
         print('p50 decode latency: {:.4f}s'.format(p50))
         return acc, p50
+
+    def _test_batched(self, decode_step, params, decode_maps,
+                      testDir, files, batch):
+        """Throughput eval: images grouped by width bucket, decoded in
+        batches (TPU-first addition; cfg.TEST.BATCH_SIZE > 1). The
+        reference evaluates strictly one image at a time (test.py:57-77)."""
+        import time as _time
+        by_bucket: Dict[int, List[tuple]] = {}
+        for fname in files:
+            img = load_image(os.path.join(testDir, fname))
+            image, time_step = prepare_single(img)
+            by_bucket.setdefault(image.shape[1], []).append(
+                (fname, image[0], int(time_step[0])))
+
+        total = correct = 0
+        t0 = _time.perf_counter()
+        for width, items in sorted(by_bucket.items()):
+            for i in range(0, len(items), batch):
+                chunk = items[i:i + batch]
+                pad = batch - len(chunk)           # static batch per bucket
+                images = np.stack([c[1] for c in chunk]
+                                  + [chunk[-1][1]] * pad)
+                steps = np.array([c[2] for c in chunk]
+                                 + [chunk[-1][2]] * pad, np.int32)
+                dec = np.asarray(decode_step(params, jnp.asarray(images),
+                                             jnp.asarray(steps)))
+                for (fname, _, _), ids in zip(chunk, dec):
+                    total += 1
+                    res = decode_ids(ids, decode_maps)
+                    org = fname.split('.')[0].split('_')[1]
+                    correct += int(org == res)
+                    print('{}    res: {}'.format(fname, res))
+        dt = _time.perf_counter() - t0
+        acc = correct / max(total, 1)
+        ips = total / dt if dt > 0 else 0.0
+        print('total acc:{}/{}={:.4f}'.format(correct, total, acc))
+        print('batched decode: {:.1f} images/sec (batch {})'.format(ips, batch))
+        return acc, ips
 
 
 def test_net(network, imgdb, testDir, output_dir, log_dir,
