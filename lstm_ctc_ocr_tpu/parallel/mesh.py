@@ -28,6 +28,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..engine.train import make_loss_fn
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host (multi-slice / pod) runtime init.
+
+    One controller process per host: call this before any other JAX use,
+    then ``make_mesh()`` sees the *global* device set and the same sharded
+    train step scales across hosts (DCN between slices, ICI within).
+    Arguments default to the standard env vars
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
+    or a TPU pod's automatic discovery). Returns the process count.
+
+    No-op single-process fallback when no coordinator is configured, so
+    single-host entry points can call it unconditionally.
+    """
+    import os
+    coord = coordinator_address or os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if coord is None and num_processes is None:
+        return 1
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_count()
+
+
+def shard_host_batch(mesh: Mesh, *arrays, axis: str = 'data'):
+    """Per-host local batches -> one global sharded array per input.
+
+    Multi-host analogue of :func:`shard_batch`: each host passes only its
+    local slice of the global batch (its own synth workers' output) and the
+    result is a global array sharded over ``axis`` without any cross-host
+    data movement.
+    """
+    sh = batch_sharded(mesh, axis)
+    return tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a))
+        for a in arrays)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = 'data') -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)

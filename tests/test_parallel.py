@@ -90,3 +90,20 @@ def test_parallel_decode(f32_cfg):
     sh_img, sh_ts = pmesh.shard_batch(m, image, time_step)
     out = np.asarray(dec(params, sh_img, sh_ts))
     assert out.shape == (n, w // 4 - 1)
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    from lstm_ctc_ocr_tpu.parallel import mesh as pmesh
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    assert pmesh.init_distributed() == 1
+
+
+def test_shard_host_batch_single_process(f32_cfg):
+    from lstm_ctc_ocr_tpu.parallel import mesh as pmesh
+    m = pmesh.make_mesh(8)
+    rng = np.random.RandomState(1)
+    image, label, label_len, time_step = _batch(16, 64, rng)
+    g_img, g_lab = pmesh.shard_host_batch(m, image, label)
+    assert g_img.shape == image.shape
+    np.testing.assert_array_equal(np.asarray(g_img), image)
+    assert g_lab.sharding.spec == jax.sharding.PartitionSpec('data')
