@@ -111,6 +111,38 @@ def restore(template, path: str):
     return unflatten_like(template, flat)
 
 
+def load_npy_pretrained(params, path: str, ignore_missing: bool = False):
+    """Load a ``{layer: {param: ndarray}}`` .npy dict into a params pytree.
+
+    Parity with ``Network.load`` (reference network.py:50-63): per-layer
+    per-variable assignment, unknown layers/params raise unless
+    ``ignore_missing``. The dict format is what tools/convert_ckpt2npy.py
+    writes (the reference's converter format).
+    """
+    d = np.load(path, allow_pickle=True).item()
+    params = jax.tree.map(lambda x: x, params)       # fresh tree containers
+
+    def assign(dst, src, prefix):
+        for name, val in src.items():
+            where = prefix + '/' + name if prefix else name
+            missing = not (hasattr(dst, '__contains__') and name in dst)
+            if missing:
+                if ignore_missing:
+                    continue
+                raise KeyError('pretrained var not in model: {}'.format(where))
+            if isinstance(val, dict):
+                assign(dst[name], val, where)
+                continue
+            cur = dst[name]
+            if tuple(np.shape(cur)) != tuple(np.shape(val)):
+                raise ValueError('shape mismatch for {}: {} vs {}'.format(
+                    where, np.shape(val), np.shape(cur)))
+            dst[name] = np.asarray(val)
+
+    assign(params, d, '')
+    return params
+
+
 def restore_latest(template, output_dir: str):
     """Returns (state, step) from the newest snapshot, or (None, 0)."""
     found = latest_checkpoint(output_dir)

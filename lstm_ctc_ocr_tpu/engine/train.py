@@ -189,7 +189,13 @@ class SolverWrapper:
             restore_iter = step
             print('Restored step {} from {}'.format(step, self.output_dir))
         elif self.pre_train:
-            params = checkpoint.restore(params, self.pre_train)
+            if str(self.pre_train).endswith('.npy'):
+                # reference Network.load format (network.py:50-63)
+                params = checkpoint.load_npy_pretrained(
+                    params, self.pre_train, ignore_missing=True)
+            else:
+                params = checkpoint.restore(
+                    {'params': params}, self.pre_train)['params']
             print('Loaded pre-trained weights from {}'.format(self.pre_train))
 
         train_step = make_train_step(self.net, tx, dtype)

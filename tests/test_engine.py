@@ -116,3 +116,36 @@ def test_train_step_reduces_loss():
         cfg.clear()
         for k, v in old.items():
             cfg[k] = v
+
+
+def test_npy_pretrained_roundtrip(tmp_path):
+    """convert_ckpt2npy output loads back via the pre_train .npy path
+    (reference Network.load format, network.py:50-63)."""
+    import sys
+    sys.path.insert(0, 'tools')
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+    from convert_ckpt2npy import convert
+
+    params = {'conv1': {'kernel': jnp.arange(8.0).reshape(2, 2, 1, 2),
+                        'biases': jnp.zeros((2,))},
+              'fc': {'weights': jnp.ones((4, 3))}}
+    d = str(tmp_path)
+    ckpt = checkpoint.save({'params': params}, d, 5)
+    npy = str(tmp_path / 'w.npy')
+    convert(ckpt, npy)
+
+    fresh = jax.tree.map(lambda x: np.zeros_like(x), params)
+    loaded = checkpoint.load_npy_pretrained(fresh, npy)
+    np.testing.assert_array_equal(np.asarray(loaded['conv1']['kernel']),
+                                  np.asarray(params['conv1']['kernel']))
+    np.testing.assert_array_equal(np.asarray(loaded['fc']['weights']),
+                                  np.asarray(params['fc']['weights']))
+
+    # unknown layer raises unless ignore_missing
+    import pytest as _pytest
+    bad = {'conv9': {'kernel': np.zeros((1,))}}
+    np.save(str(tmp_path / 'bad.npy'), bad, allow_pickle=True)
+    with _pytest.raises(KeyError):
+        checkpoint.load_npy_pretrained(fresh, str(tmp_path / 'bad.npy'))
+    checkpoint.load_npy_pretrained(fresh, str(tmp_path / 'bad.npy'),
+                                   ignore_missing=True)
