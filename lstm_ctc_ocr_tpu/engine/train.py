@@ -215,10 +215,30 @@ class SolverWrapper:
         # pipeline and the host renders batch N+2 while the device runs N+1.
         # (The reference's sess.run returns loss synchronously every iter,
         # train.py:121-130 — on TPU that would serialize host and device.)
-        pending = None                  # (it, ctc_array)
+        # Snapshots and validation stay SYNCHRONOUS at their own cadence so
+        # a checkpoint named iter_K always holds exactly the post-step-K
+        # state (resume replays nothing); only the loss-triggered low-loss
+        # snapshot is decided one step late, and is therefore named for the
+        # step whose params it actually contains.
+        pending = None                  # (it, ctc_array, step_seconds)
 
-        def process(it, ctc_arr):
-            nonlocal loss_min, val_batch
+        def run_val(it):
+            nonlocal val_batch
+            if val_batch is None:  # cached first batch (train.py:146-149)
+                val_batch = next(val_gen)
+            vb = val_batch
+            dec = np.asarray(decode_step(params, jnp.asarray(vb.image),
+                                         jnp.asarray(vb.time_step)))
+            org = [vb.label[i, :vb.label_len[i]].tolist()
+                   for i in range(vb.label.shape[0])]
+            acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
+            self.writer.add_scalar('val_accuracy', acc, it)
+            print('accuracy: {:.5f}'.format(acc), flush=True)
+
+        def process(it, ctc_arr, step_secs, cur_it):
+            """Lagged per-iter bookkeeping for step ``it`` (params/opt_state
+            have since advanced through step ``cur_it``)."""
+            nonlocal loss_min
             ctc_val = float(ctc_arr)
             self.writer.add_scalar('loss', ctc_val, it)
 
@@ -226,26 +246,15 @@ class SolverWrapper:
                 lr_now = float(lr_schedule(it))
                 print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
                       (it, max_iters, ctc_val, lr_now), end=' ')
-                print('speed: {:.3f}s / iter'.format(timer.diff), flush=True)
+                print('speed: {:.3f}s / iter'.format(step_secs), flush=True)
 
-            new_min = ctc_val < loss_min
-            if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0 or new_min:
-                if new_min:
-                    print('loss: ', ctc_val, end=' ')
-                    loss_min = ctc_val
-                self.snapshot({'params': params, 'opt_state': opt_state}, it + 1)
-
-            if (it + 1) % cfg.VAL.VAL_STEP == 0 or new_min:
-                if val_batch is None:  # cached first batch (train.py:146-149)
-                    val_batch = next(val_gen)
-                vb = val_batch
-                dec = np.asarray(decode_step(params, jnp.asarray(vb.image),
-                                             jnp.asarray(vb.time_step)))
-                org = [vb.label[i, :vb.label_len[i]].tolist()
-                       for i in range(vb.label.shape[0])]
-                acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
-                self.writer.add_scalar('val_accuracy', acc, it)
-                print('accuracy: {:.5f}'.format(acc), flush=True)
+            if ctc_val < loss_min:
+                print('loss: ', ctc_val, end=' ')
+                loss_min = ctc_val
+                # params currently in scope are post-step cur_it
+                self.snapshot({'params': params, 'opt_state': opt_state},
+                              cur_it + 1)
+                run_val(it)
 
         try:
             for it in range(restore_iter, max_iters):
@@ -259,10 +268,16 @@ class SolverWrapper:
                     jnp.asarray(b.time_step), step_rng)
                 timer.toc(average=False)
                 if pending is not None:
-                    process(*pending)
-                pending = (it, ctc)
+                    process(*pending, cur_it=it)
+                pending = (it, ctc, timer.diff)
+
+                if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                    self.snapshot({'params': params, 'opt_state': opt_state},
+                                  it + 1)
+                if (it + 1) % cfg.VAL.VAL_STEP == 0:
+                    run_val(it)
             if pending is not None:
-                process(*pending)
+                process(*pending, cur_it=pending[0])
         finally:
             prof.close()
             train_gen.close()

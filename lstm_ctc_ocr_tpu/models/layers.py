@@ -159,9 +159,10 @@ def lstm_init(rng, in_shape, num_hids, num_layers, nclasses, weight_decay):
 
 def lstm_apply(params, x, lens, ctx, num_hids, num_layers, nclasses):
     x_tm = jnp.swapaxes(_cast(x, ctx), 0, 1)
+    scan = rnn_ops.select_scan()          # honors cfg.LSTM_IMPL
     for cell in params['cells']:
         cell = jax.tree.map(lambda p: _cast(p, ctx), cell)
-        x_tm = rnn_ops.lstm_scan(cell, x_tm, lens)
+        x_tm = scan(cell, x_tm, lens)
     out = jnp.swapaxes(x_tm, 0, 1)
     logits = jnp.einsum('nth,hc->ntc', out.astype(jnp.float32),
                         params['weights']) + params['biases']

@@ -74,6 +74,17 @@ def lstm_scan(params, x_tm: jnp.ndarray, lens: jnp.ndarray,
     return out
 
 
+def select_scan():
+    """The configured masked-LSTM scan implementation (cfg.LSTM_IMPL):
+    'pallas' -> the fused VMEM-resident kernel, anything else -> lax.scan.
+    Single dispatch point for every LSTM layer variant."""
+    from ..config import cfg
+    if str(cfg.LSTM_IMPL) == 'pallas':
+        from . import rnn_pallas
+        return rnn_pallas.lstm_scan
+    return lstm_scan
+
+
 def reverse_sequence(x_tm: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     """Per-example reversal of the first ``lens[n]`` frames (tf.reverse_sequence).
 
@@ -98,11 +109,7 @@ def bilstm(params, x: jnp.ndarray, lens: jnp.ndarray,
       [N, T, 2H] concat(fw, bw) outputs, zero past ``lens``
       (tf.nn.bidirectional_dynamic_rnn contract, network.py:107-109).
     """
-    from ..config import cfg
-    scan = lstm_scan
-    if str(cfg.LSTM_IMPL) == 'pallas':
-        from . import rnn_pallas
-        scan = rnn_pallas.lstm_scan
+    scan = select_scan()
     x_tm = jnp.swapaxes(x, 0, 1)
     out_fw = scan(params['fw'], x_tm, lens, forget_bias)
     x_rev = reverse_sequence(x_tm, lens)

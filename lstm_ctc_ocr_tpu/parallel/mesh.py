@@ -36,15 +36,21 @@ def init_distributed(coordinator_address: Optional[str] = None,
     One controller process per host: call this before any other JAX use,
     then ``make_mesh()`` sees the *global* device set and the same sharded
     train step scales across hosts (DCN between slices, ICI within).
-    Arguments default to the standard env vars
-    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
-    or a TPU pod's automatic discovery). Returns the process count.
+    Arguments default to the ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env vars; on a managed TPU
+    pod where the runtime can discover the topology, setting only
+    ``JAX_COORDINATOR_ADDRESS`` (or passing it) is enough. Returns the
+    process count.
 
-    No-op single-process fallback when no coordinator is configured, so
-    single-host entry points can call it unconditionally.
+    No-op single-process fallback when neither arguments nor env vars are
+    configured, so single-host entry points can call it unconditionally.
     """
     import os
     coord = coordinator_address or os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if num_processes is None and 'JAX_NUM_PROCESSES' in os.environ:
+        num_processes = int(os.environ['JAX_NUM_PROCESSES'])
+    if process_id is None and 'JAX_PROCESS_ID' in os.environ:
+        process_id = int(os.environ['JAX_PROCESS_ID'])
     if coord is None and num_processes is None:
         return 1
     jax.distributed.initialize(coordinator_address=coord,
