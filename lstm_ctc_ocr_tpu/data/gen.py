@@ -141,7 +141,10 @@ def bucket_batch(imgs: List[np.ndarray], labels: List[str],
     import cv2
     encode_maps, _ = get_encode_decode_dict()
     nh = cfg.IMG_HEIGHT
-    resized = [_resize_keep_aspect(img, nh) for img in imgs]
+    # images already at target height (e.g. the pool caches resized ones)
+    # skip the per-batch cv2 resize — the hot host op on 1-core hosts
+    resized = [img if img.shape[0] == nh else _resize_keep_aspect(img, nh)
+               for img in imgs]
     widths = [im.shape[1] for im in resized]
     w_bucket = pick_bucket(max(widths), buckets)
 

@@ -20,7 +20,15 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from ..config import cfg
-from .gen import DeviceBatch, bucket_batch, generate_img
+from .gen import DeviceBatch, _resize_keep_aspect, bucket_batch, generate_img
+
+
+def _render_resized(rng):
+    """Render one example already resized to IMG_HEIGHT, so sampling a pool
+    image costs zero cv2 work per batch (resize is deterministic — same
+    pixels bucket_batch would produce)."""
+    im, lab = generate_img(rng)
+    return _resize_keep_aspect(im, cfg.IMG_HEIGHT), lab
 
 
 class PoolSampler:
@@ -32,7 +40,7 @@ class PoolSampler:
         if verbose:
             print('rendering {} pool images...'.format(size), flush=True)
         for i in range(size):
-            im, lab = generate_img(self._rng)
+            im, lab = _render_resized(self._rng)
             self.images.append(im)
             self.labels.append(lab)
             if verbose and (i + 1) % 5000 == 0:
@@ -41,7 +49,7 @@ class PoolSampler:
     def refresh(self, k: int) -> None:
         for _ in range(k):
             j = self._np_rng.randint(len(self.images))
-            im, lab = generate_img(self._rng)
+            im, lab = _render_resized(self._rng)
             self.images[j] = im
             self.labels[j] = lab
 
