@@ -103,3 +103,42 @@ def test_metrics_accuracy_and_label_helpers():
     flat = [1, 2, 3, 4, 5]
     assert restore_labels(flat, [3, 2]) == [[1, 2, 3], [4, 5]]
     assert merge_labels([[1, 2, 0, 0], [3, 0]]).tolist() == [1, 2, 3]
+
+
+def test_enqueuer_multiprocess_workers():
+    """Real fork workers: decorrelated streams, clean stop (data_util.py:49-113)."""
+    from lstm_ctc_ocr_tpu.data.enqueuer import GeneratorEnqueuer
+
+    def factory():
+        import random as _r
+        while True:
+            yield _r.random()
+
+    enq = GeneratorEnqueuer(factory, seed=3)
+    enq.start(workers=2, max_queue_size=4)
+    try:
+        vals = [enq.get(timeout=30.0) for _ in range(6)]
+        assert len(set(vals)) > 1          # per-worker seeding decorrelates
+        assert enq.is_running()
+    finally:
+        enq.stop()
+    assert not enq.is_running()
+
+
+def test_enqueuer_worker_failure_detected():
+    """A crashing worker sets the stop event; the consumer raises instead of
+    hanging (reference failure-detection contract, data_util.py:57-59)."""
+    import pytest as _pytest
+    from lstm_ctc_ocr_tpu.data.enqueuer import GeneratorEnqueuer
+
+    def bad_factory():
+        raise RuntimeError('boom')
+        yield  # pragma: no cover
+
+    enq = GeneratorEnqueuer(bad_factory, seed=0)
+    enq.start(workers=1, max_queue_size=2)
+    try:
+        with _pytest.raises((RuntimeError, TimeoutError)):
+            enq.get(timeout=20.0)
+    finally:
+        enq.stop()
