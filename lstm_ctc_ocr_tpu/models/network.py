@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..config import cfg
 from . import layers as L
+from . import layers_legacy as LL
 
 
 @dataclass
@@ -139,6 +140,131 @@ class Network:
         return LayerSpec(name, 'dropout', inputs, dict(keep_prob=keep_prob),
                          has_params=False)
 
+    # -- legacy vocabulary (PVANet/FCN heritage; models/layers_legacy.py) -----
+
+    @layer
+    def relu(self, inputs, name):
+        return LayerSpec(name, 'relu', inputs, {}, has_params=False)
+
+    @layer
+    def conv(self, inputs, name, k_h, k_w, c_o, s_h, s_w, c_i=None,
+             biased=True, relu=True, padding='SAME', trainable=True):
+        return LayerSpec(name, 'conv', inputs,
+                         dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
+                              c_i=c_i, biased=biased, relu=relu,
+                              padding=padding),
+                         has_params=True, reg_keys=('kernel',))
+
+    @layer
+    def conv_zero(self, inputs, name, k_h, k_w, c_o, s_h, s_w, biased=True,
+                  relu=True, padding='SAME', trainable=True):
+        return LayerSpec(name, 'conv_zero', inputs,
+                         dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
+                              biased=biased, relu=relu, padding=padding),
+                         has_params=True, reg_keys=('kernel',))
+
+    @layer
+    def conv_norm(self, inputs, name, k_h, k_w, c_o, s_h, s_w, biased=True,
+                  relu=True, padding='SAME', trainable=True):
+        return LayerSpec(name, 'conv_norm', inputs,
+                         dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
+                              biased=biased, relu=relu, padding=padding),
+                         has_params=True, reg_keys=('kernel',))
+
+    @layer
+    def conv_final(self, inputs, name, k_h, k_w, c_o, s_h, s_w, biased=True,
+                   relu=True, padding='SAME', trainable=True):
+        # the reference hard-codes c_i=128 (network.py:276); we validate it
+        return LayerSpec(name, 'conv_final', inputs,
+                         dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
+                              biased=biased, relu=relu, padding=padding),
+                         has_params=True, reg_keys=('kernel',))
+
+    @layer
+    def upconv(self, inputs, name, shape, c_o, ksize=4, stride=2,
+               biased=False, relu=True, padding='SAME', trainable=True):
+        return LayerSpec(name, 'upconv', inputs,
+                         dict(shape=shape, c_o=c_o, ksize=ksize,
+                              stride=stride, biased=biased, relu=relu),
+                         has_params=True, reg_keys=('kernel',))
+
+    @layer
+    def lrn(self, inputs, name, radius, alpha, beta, bias=1.0):
+        return LayerSpec(name, 'lrn', inputs,
+                         dict(radius=radius, alpha=alpha, beta=beta,
+                              bias=bias), has_params=False)
+
+    @layer
+    def reshape_layer(self, inputs, name, d):
+        return LayerSpec(name, 'reshape_layer', inputs,
+                         dict(d=d, name=name), has_params=False)
+
+    @layer
+    def spatial_reshape_layer(self, inputs, name, d):
+        return LayerSpec(name, 'spatial_reshape_layer', inputs, dict(d=d),
+                         has_params=False)
+
+    @layer
+    def spatial_softmax(self, inputs, name):
+        return LayerSpec(name, 'spatial_softmax', inputs, {},
+                         has_params=False)
+
+    @layer
+    def add(self, inputs, name):
+        return LayerSpec(name, 'add', inputs, {}, has_params=False)
+
+    @layer
+    def negation(self, inputs, name):
+        return LayerSpec(name, 'negation', inputs, {}, has_params=False)
+
+    @layer
+    def scale(self, inputs, name, c_in):
+        return LayerSpec(name, 'scale', inputs, dict(c_in=c_in),
+                         has_params=True, reg_keys=('alpha',))
+
+    @layer
+    def batch_normalization(self, inputs, name, relu=True, is_training=False):
+        return LayerSpec(name, 'batch_normalization', inputs,
+                         dict(relu=relu, is_training=is_training),
+                         has_params=True)
+
+    @layer
+    def bn_scale_combo(self, inputs, name, c_in, relu=True):
+        return LayerSpec(name, 'bn_scale_combo', inputs,
+                         dict(c_in=c_in, relu=relu), has_params=True)
+
+    @layer
+    def pva_negation_block(self, inputs, name, k_h, k_w, c_o, s_h, s_w,
+                           biased=True, padding='SAME', trainable=True,
+                           scale=True, negation=True):
+        return LayerSpec(name, 'pva_negation_block', inputs,
+                         dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
+                              biased=biased, padding=padding, scale=scale,
+                              negation=negation), has_params=True)
+
+    @layer
+    def pva_negation_block_v2(self, inputs, name, k_h, k_w, c_o, s_h, s_w,
+                              c_in, biased=True, padding='SAME',
+                              trainable=True, negation=True):
+        return LayerSpec(name, 'pva_negation_block_v2', inputs,
+                         dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
+                              c_in=c_in, biased=biased, padding=padding,
+                              negation=negation), has_params=True)
+
+    @layer
+    def pva_inception_res_stack(self, inputs, name, c_in, block_start=False,
+                                type='a'):
+        return LayerSpec(name, 'pva_inception_res_stack', inputs,
+                         dict(c_in=c_in, block_start=block_start, type=type,
+                              name=name), has_params=True)
+
+    @layer
+    def pva_inception_res_block(self, inputs, name, name_prefix='conv4_',
+                                type='a'):
+        return LayerSpec(name, 'pva_inception_res_block', inputs,
+                         dict(name_prefix=name_prefix, type=type),
+                         has_params=True)
+
     # -- build ----------------------------------------------------------------
 
     def init_params(self, rng: jax.Array,
@@ -188,6 +314,65 @@ class Network:
             return L.fc_init(rng, in_shapes[0], kw['num_out'])
         if spec.kind in ('softmax', 'dropout'):
             return None, in_shapes[0]
+        return self._init_legacy_layer(spec, rng, in_shapes)
+
+    def _init_legacy_layer(self, spec, rng, in_shapes):
+        kw = spec.kwargs
+        s = in_shapes[0]
+        if spec.kind == 'conv':
+            return LL.conv_init(rng, s, kw['k_h'], kw['k_w'], kw['c_o'],
+                                kw['s_h'], kw['s_w'], kw['c_i'],
+                                kw['biased'], kw['padding'])
+        if spec.kind == 'conv_zero':
+            return LL.conv_init(rng, s, kw['k_h'], kw['k_w'], kw['c_o'],
+                                kw['s_h'], kw['s_w'], None, kw['biased'],
+                                kw['padding'], kernel_init='zero')
+        if spec.kind == 'conv_norm':
+            return LL.conv_norm_init(rng, s, kw['k_h'], kw['k_w'], kw['c_o'],
+                                     kw['s_h'], kw['s_w'], None,
+                                     kw['biased'], kw['relu'], kw['padding'])
+        if spec.kind == 'conv_final':
+            return LL.conv_norm_init(rng, s, kw['k_h'], kw['k_w'], kw['c_o'],
+                                     kw['s_h'], kw['s_w'], 128,
+                                     kw['biased'], kw['relu'], kw['padding'])
+        if spec.kind == 'upconv':
+            return LL.upconv_init(rng, s, kw['c_o'], kw['ksize'],
+                                  kw['stride'], kw['shape'], kw['biased'])
+        if spec.kind in ('relu', 'lrn', 'spatial_softmax', 'negation'):
+            return None, s
+        if spec.kind == 'reshape_layer':
+            n, h, w, c = s
+            d = kw['d']
+            new_h = int(h / d * c) if kw['name'] == 'rpn_cls_prob_reshape' \
+                else int(h * (c / d))
+            return None, (n, new_h, w, int(d))
+        if spec.kind == 'spatial_reshape_layer':
+            n, h, w, c = s
+            return None, (n, h, w * c // int(kw['d']), int(kw['d']))
+        if spec.kind == 'add':
+            return None, s
+        if spec.kind == 'scale':
+            return LL.scale_init(kw['c_in']), s
+        if spec.kind == 'batch_normalization':
+            return LL.batch_norm_init(s[-1]), s
+        if spec.kind == 'bn_scale_combo':
+            return LL.bn_scale_combo_init(rng, s, kw['c_in'])
+        if spec.kind == 'pva_negation_block':
+            return LL.pva_negation_block_init(
+                rng, s, kw['k_h'], kw['k_w'], kw['c_o'], kw['s_h'],
+                kw['s_w'], kw['biased'], kw['padding'], kw['scale'],
+                kw['negation'])
+        if spec.kind == 'pva_negation_block_v2':
+            return LL.pva_negation_block_v2_init(
+                rng, s, kw['k_h'], kw['k_w'], kw['c_o'], kw['s_h'],
+                kw['s_w'], kw['c_in'], kw['biased'], kw['padding'],
+                kw['negation'])
+        if spec.kind == 'pva_inception_res_stack':
+            return LL.pva_inception_res_stack_init(
+                rng, s, kw['c_in'], kw['block_start'], kw['type'], kw['name'])
+        if spec.kind == 'pva_inception_res_block':
+            return LL.pva_inception_res_block_init(
+                rng, s, kw['name_prefix'], kw['type'])
         raise ValueError('unknown layer kind: ' + spec.kind)
 
     # -- forward ----------------------------------------------------------------
@@ -227,6 +412,64 @@ class Network:
             return L.softmax_apply(xs[0], ctx)
         if spec.kind == 'dropout':
             return L.dropout_apply(xs[0], ctx, **kw)
+        return self._apply_legacy_layer(spec, p, xs, ctx)
+
+    def _apply_legacy_layer(self, spec, p, xs, ctx):
+        kw = spec.kwargs
+        x = xs[0]
+        if spec.kind == 'relu':
+            return jnp.maximum(x, jnp.zeros((), x.dtype))
+        if spec.kind == 'conv':
+            return LL.conv_apply(p, x, ctx, kw['k_h'], kw['k_w'], kw['c_o'],
+                                 kw['s_h'], kw['s_w'], kw['biased'],
+                                 kw['relu'], kw['padding'])
+        if spec.kind == 'conv_zero':
+            return LL.conv_apply(p, x, ctx, kw['k_h'], kw['k_w'], kw['c_o'],
+                                 kw['s_h'], kw['s_w'], kw['biased'],
+                                 kw['relu'], kw['padding'])
+        if spec.kind in ('conv_norm', 'conv_final'):
+            return LL.conv_norm_apply(p, x, ctx, kw['k_h'], kw['k_w'],
+                                      kw['c_o'], kw['s_h'], kw['s_w'],
+                                      kw['biased'], kw['relu'], kw['padding'])
+        if spec.kind == 'upconv':
+            return LL.upconv_apply(p, x, ctx, kw['c_o'], kw['ksize'],
+                                   kw['stride'], kw['shape'], kw['biased'],
+                                   kw['relu'])
+        if spec.kind == 'lrn':
+            return LL.lrn_apply(x, ctx, **kw)
+        if spec.kind == 'reshape_layer':
+            return LL.reshape_layer_apply(x, ctx, **kw)
+        if spec.kind == 'spatial_reshape_layer':
+            return LL.spatial_reshape_layer_apply(x, ctx, **kw)
+        if spec.kind == 'spatial_softmax':
+            return LL.spatial_softmax_apply(x, ctx)
+        if spec.kind == 'add':
+            return LL.add_apply(xs, ctx)
+        if spec.kind == 'negation':
+            return LL.negation_apply(x, ctx)
+        if spec.kind == 'scale':
+            return LL.scale_apply(p, x, ctx)
+        if spec.kind == 'batch_normalization':
+            return LL.batch_normalization_apply(p, x, ctx, **kw)
+        if spec.kind == 'bn_scale_combo':
+            return LL.bn_scale_combo_apply(p, x, ctx, **kw)
+        if spec.kind == 'pva_negation_block':
+            return LL.pva_negation_block_apply(
+                p, x, ctx, kw['k_h'], kw['k_w'], kw['c_o'], kw['s_h'],
+                kw['s_w'], kw['biased'], kw['padding'], kw['scale'],
+                kw['negation'])
+        if spec.kind == 'pva_negation_block_v2':
+            return LL.pva_negation_block_v2_apply(
+                p, x, ctx, kw['k_h'], kw['k_w'], kw['c_o'], kw['s_h'],
+                kw['s_w'], kw['c_in'], kw['biased'], kw['padding'],
+                kw['negation'])
+        if spec.kind == 'pva_inception_res_stack':
+            return LL.pva_inception_res_stack_apply(
+                p, x, ctx, kw['c_in'], kw['block_start'], kw['type'],
+                kw['name'])
+        if spec.kind == 'pva_inception_res_block':
+            return LL.pva_inception_res_block_apply(
+                p, x, ctx, kw['name_prefix'], kw['type'])
         raise ValueError('unknown layer kind: ' + spec.kind)
 
     # -- losses ------------------------------------------------------------------
