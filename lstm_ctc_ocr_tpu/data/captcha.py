@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence, Tuple
 
 from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
-DEFAULT_FONT = '/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf'
+DEFAULT_FONT = '/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf'
 
 
 def _random_light_color(rng) -> Tuple[int, int, int]:

@@ -23,7 +23,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
-DEFAULT_FONT = '/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf'
+DEFAULT_FONT = '/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf'
 
 
 def _noise_texture(w: int, h: int, rng, base: int, spread: int) -> Image.Image:

@@ -121,16 +121,28 @@ def conv_norm_apply(params, x, ctx, k_h, k_w, c_o, s_h, s_w, biased=True,
     return y
 
 
+def _upconv_out_dims(in_shape, ksize, stride, shape):
+    h, w = in_shape[1], in_shape[2]
+    if shape is None:
+        return h * stride, w * stride
+    out_h, out_w = int(shape[1]), int(shape[2])
+    for name, i, o in (('height', h, out_h), ('width', w, out_w)):
+        # TF validity: the forward conv of size o with SAME padding and this
+        # stride must produce i, i.e. ceil(o/s) == i
+        if not ((i - 1) * stride < o <= i * stride):
+            raise ValueError(
+                'upconv: requested output {} {} is unreachable from input '
+                '{} with stride {} (tf.nn.conv2d_transpose would reject '
+                'this output_shape too)'.format(name, o, i, stride))
+    return out_h, out_w
+
+
 def upconv_init(rng, in_shape, c_o, ksize=4, stride=2, shape=None,
                 biased=False):
     n, h, w, c_in = in_shape
-    if shape is None:
-        out_h, out_w = h * stride, w * stride
-    else:
-        out_h, out_w = shape[1], shape[2]
+    out_h, out_w = _upconv_out_dims(in_shape, ksize, stride, shape)
     # tf.nn.conv2d_transpose filter layout is [k, k, c_out, c_in]
-    # (network.py:315); jax transposed conv wants HWIO of the *transpose*,
-    # we keep the TF layout in the pytree and swap at apply time.
+    # (network.py:315); kept as-is in the pytree, rearranged at apply time.
     params = {'kernel': _vs_init(0.001)(rng, (ksize, ksize, c_o, c_in),
                                         jnp.float32)}
     if biased:
@@ -140,16 +152,30 @@ def upconv_init(rng, in_shape, c_o, ksize=4, stride=2, shape=None,
 
 def upconv_apply(params, x, ctx, c_o, ksize=4, stride=2, shape=None,
                  biased=False, relu=True):
+    """Exact tf.nn.conv2d_transpose: the input-gradient of a forward SAME
+    conv from the requested output size back to the input size. Expressed
+    directly as a dilated conv so explicit output_shapes get the same
+    padding split TF derives from them (pad_total computed on the *output*
+    size; a plain 'SAME' conv_transpose only matches when out == in*s and
+    (k - s) is even — the general case needs this formulation)."""
     x = _cast(x, ctx)
     kernel = _cast(params['kernel'], ctx)          # [k, k, c_o, c_in]
-    # transpose_kernel=True makes this the exact input-gradient of a forward
-    # conv whose HWIO kernel is [k, k, c_o, c_in] — i.e. identical to
-    # tf.nn.conv2d_transpose with its [k, k, output_c, input_c] filter
-    y = jax.lax.conv_transpose(
-        x, kernel, strides=(stride, stride), padding='SAME',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), transpose_kernel=True)
-    if shape is not None:
-        y = y[:, :shape[1], :shape[2], :]
+    out_h, out_w = _upconv_out_dims(x.shape, ksize, stride, shape)
+
+    def grad_pads(i, o):
+        p_total = max((i - 1) * stride + ksize - o, 0)
+        p_lo = p_total // 2
+        p_hi = p_total - p_lo
+        adj = (o + p_total - ksize) % stride
+        return (ksize - 1 - p_lo, ksize - 1 - p_hi + adj)
+
+    # rot180 spatially; treat as HWIO mapping c_in -> c_o
+    k_grad = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
+    y = jax.lax.conv_general_dilated(
+        x, k_grad, window_strides=(1, 1),
+        padding=[grad_pads(x.shape[1], out_h), grad_pads(x.shape[2], out_w)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     if biased:
         y = y + _cast(params['biases'], ctx)
     if relu:

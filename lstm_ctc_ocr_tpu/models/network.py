@@ -219,8 +219,10 @@ class Network:
 
     @layer
     def scale(self, inputs, name, c_in):
+        # alpha/beta decay at the reference's fixed 1e-5 rate, registered
+        # via _composite_reg_entries (network.py:617-622)
         return LayerSpec(name, 'scale', inputs, dict(c_in=c_in),
-                         has_params=True, reg_keys=('alpha',))
+                         has_params=True)
 
     @layer
     def batch_normalization(self, inputs, name, relu=True, is_training=False):
@@ -245,7 +247,9 @@ class Network:
     @layer
     def pva_negation_block_v2(self, inputs, name, k_h, k_w, c_o, s_h, s_w,
                               c_in, biased=True, padding='SAME',
-                              trainable=True, negation=True):
+                              trainable=True, scale=True, negation=True):
+        # `scale` is accepted-and-ignored exactly like the reference
+        # (network.py:519-520 takes it but never reads it)
         return LayerSpec(name, 'pva_negation_block_v2', inputs,
                          dict(k_h=k_h, k_w=k_w, c_o=c_o, s_h=s_h, s_w=s_w,
                               c_in=c_in, biased=biased, padding=padding,
@@ -280,10 +284,55 @@ class Network:
             if p is not None:
                 params[spec.name] = p
                 for k in spec.reg_keys:
-                    self.reg_paths.append((spec.name, k))
+                    # (layer, key path, coefficient); None = cfg WEIGHT_DECAY
+                    self.reg_paths.append((spec.name, (k,), None))
+                for path, coeff in self._composite_reg_entries(spec, p):
+                    self.reg_paths.append((spec.name, path, coeff))
             shapes[spec.name] = out_shape
         self._shapes = shapes
         return params
+
+    # reference scale-layer decay rates: network.py:510-513 (1e-5),
+    # :529-532 (4e-5), :617-622 (1e-5)
+    _SCALE_WD = 1e-5
+    _SCALE_WD_V2 = 4e-5
+
+    def _composite_reg_entries(self, spec, params):
+        """Reference L2 parity inside composite legacy blocks: every inner
+        conv kernel carries cfg.TRAIN.WEIGHT_DECAY (network.py:503,537,
+        559-594), scale alpha/beta carry their own fixed rates."""
+        kind = spec.kind
+        if kind == 'scale':
+            return [(('alpha',), self._SCALE_WD), (('beta',), self._SCALE_WD)]
+        if kind == 'pva_negation_block':
+            out = [(('conv', 'kernel'), None)]
+            if spec.kwargs['scale']:
+                out += [(('scale', 'alpha'), self._SCALE_WD),
+                        (('scale', 'beta'), self._SCALE_WD)]
+            return out
+        if kind == 'pva_negation_block_v2':
+            out = [(('conv', 'kernel'), None)]
+            if spec.kwargs['negation']:
+                out += [(('scale', 'alpha'), self._SCALE_WD_V2),
+                        (('scale', 'beta'), self._SCALE_WD_V2)]
+            return out
+        if kind == 'pva_inception_res_stack':
+            return self._incep_stack_reg_entries(params)
+        if kind == 'pva_inception_res_block':
+            out = []
+            for i in range(1, 5):
+                key = 'stack{}'.format(i)
+                out += [((key,) + path, coeff) for path, coeff in
+                        self._incep_stack_reg_entries(params[key])]
+            return out
+        return []
+
+    def _incep_stack_reg_entries(self, params):
+        out = [((k, 'kernel'), None) for k, v in sorted(params.items())
+               if isinstance(v, dict) and 'kernel' in v]
+        out += [(('bn_scale', 'alpha'), self._SCALE_WD),
+                (('bn_scale', 'beta'), self._SCALE_WD)]
+        return out
 
     def _init_layer(self, spec, rng, in_shapes):
         kw = spec.kwargs
@@ -477,12 +526,17 @@ class Network:
     def regularization_loss(self, params) -> jnp.ndarray:
         """Sum of L2 penalties on conv kernels and projection weights —
         the reference's REGULARIZATION_LOSSES collection (network.py:630-637,
-        660-662): wd * sum(w^2) / 2 per regularized tensor."""
+        660-662): wd * sum(w^2) / 2 per regularized tensor. Entries carry a
+        per-tensor coefficient (None = cfg.TRAIN.WEIGHT_DECAY) because the
+        legacy scale layers use their own fixed rates."""
         wd = cfg.TRAIN.WEIGHT_DECAY
         total = jnp.float32(0.0)
-        for layer_name, key in self.reg_paths:
-            w = params[layer_name][key]
-            total = total + wd * 0.5 * jnp.sum(jnp.square(w.astype(jnp.float32)))
+        for layer_name, path, coeff in self.reg_paths:
+            w = params[layer_name]
+            for key in path:
+                w = w[key]
+            c = wd if coeff is None else coeff
+            total = total + c * 0.5 * jnp.sum(jnp.square(w.astype(jnp.float32)))
         return total
 
     def output_shape(self, name: str):

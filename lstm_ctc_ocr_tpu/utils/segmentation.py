@@ -88,7 +88,10 @@ def subsample_fg_bg(rng: jax.Array, annotation: jnp.ndarray,
         pri = jax.random.uniform(key, flat.shape)
         pri = jnp.where(is_class, pri, jnp.inf)      # non-class sorts last
         order = jnp.argsort(pri)
-        rank = jnp.zeros_like(flat).at[order].set(jnp.arange(flat.shape[0]))
+        # rank must be a wide int regardless of the annotation dtype —
+        # a uint8 annotation would wrap ranks mod 256 and break the caps
+        rank = jnp.zeros(flat.shape, jnp.int32).at[order].set(
+            jnp.arange(flat.shape[0], dtype=jnp.int32))
         return is_class & (rank < cap)
 
     is_fg = flat == 1

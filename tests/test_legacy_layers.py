@@ -98,17 +98,33 @@ def test_upconv_doubles_spatial_dims():
     assert out2['up2'].shape == (2, 9, 11, 7)
 
 
-def test_upconv_matches_tf_conv2d_transpose():
+@pytest.mark.parametrize('ksize,stride,out_hw', [
+    (4, 2, (10, 12)),    # default: out = in*stride, even k-s split
+    (5, 2, (9, 11)),     # odd pad split derived from the requested output
+    (4, 3, (13, 16)),    # k < s + explicit output_shape
+    (3, 2, (9, 12)),
+])
+def test_upconv_matches_tf_conv2d_transpose(ksize, stride, out_hw):
     tf = pytest.importorskip('tensorflow')
     rng = np.random.RandomState(1)
     x = rng.rand(1, 5, 6, 3).astype(np.float32)
-    k_tf = rng.rand(4, 4, 7, 3).astype(np.float32)    # [k,k,c_out,c_in]
+    k_tf = rng.rand(ksize, ksize, 7, 3).astype(np.float32)  # [k,k,c_out,c_in]
     ref = tf.nn.conv2d_transpose(
-        x, k_tf, output_shape=[1, 10, 12, 7], strides=[1, 2, 2, 1],
-        padding='SAME').numpy()
+        x, k_tf, output_shape=[1, out_hw[0], out_hw[1], 7],
+        strides=[1, stride, stride, 1], padding='SAME').numpy()
+    shape = None if out_hw == (5 * stride, 6 * stride) \
+        else [1, out_hw[0], out_hw[1], 7]
     got = LL.upconv_apply({'kernel': jnp.asarray(k_tf)}, jnp.asarray(x), {},
-                          c_o=7, ksize=4, stride=2, relu=False)
+                          c_o=7, ksize=ksize, stride=stride, shape=shape,
+                          relu=False)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_upconv_rejects_unreachable_output_shape():
+    # ceil(11/2) != 5 -> TF rejects this output_shape; so do we, at init
+    with pytest.raises(ValueError):
+        LL.upconv_init(jax.random.PRNGKey(0), (1, 5, 6, 3), c_o=7,
+                       ksize=4, stride=2, shape=[1, 11, 12, 7])
 
 
 def test_lrn_matches_tf():
@@ -166,8 +182,9 @@ def test_add_negation_scale_relu():
     # x + (-x) = 0, relu(0) = 0
     np.testing.assert_array_equal(np.asarray(out['sum']), 0.0)
     np.testing.assert_array_equal(np.asarray(out['r']), 0.0)
-    # alpha is registered for weight decay like the reference's regularizer
-    assert ('sc', 'alpha') in net.reg_paths
+    # alpha AND beta decay at the reference's fixed 1e-5 (network.py:617-622)
+    assert ('sc', ('alpha',), 1e-5) in net.reg_paths
+    assert ('sc', ('beta',), 1e-5) in net.reg_paths
 
 
 def test_batch_normalization_frozen_vs_training():
@@ -227,6 +244,40 @@ def test_pva_inception_res_block_chains_four_stacks():
     assert net.output_shape('blk') == (1, 4, 4, 256)
     assert out['blk'].shape == (1, 4, 4, 256)
     assert np.isfinite(np.asarray(out['blk'])).all()
+
+
+def test_composite_reg_parity():
+    """Inner conv kernels of the composite PVA blocks carry weight decay,
+    scale alpha/beta carry the reference's fixed rates (network.py:503,
+    510-513, 529-532, 556-594)."""
+    net, params, x, out = _run(
+        [('pva_negation_block', (3, 3, 8, 1, 1), {'name': 'pnb'}),
+         ('pva_negation_block_v2', (3, 3, 10, 1, 1, 16), {'name': 'pnb2'}),
+         ('pva_inception_res_stack', (10,),
+          {'name': 's1', 'block_start': True, 'type': 'a'})],
+        in_shape=(1, 8, 8, 4))
+    entries = {(n, p): c for n, p, c in net.reg_paths}
+    assert entries[('pnb', ('conv', 'kernel'))] is None        # cfg wd
+    assert entries[('pnb', ('scale', 'alpha'))] == 1e-5
+    assert entries[('pnb', ('scale', 'beta'))] == 1e-5
+    assert entries[('pnb2', ('conv', 'kernel'))] is None
+    assert entries[('pnb2', ('scale', 'alpha'))] == 4e-5       # network.py:530
+    assert entries[('s1', ('bn_scale', 'alpha'))] == 1e-5
+    # every inner conv tower of the inception stack is registered
+    inner = {p[0] for (n, p) in entries if n == 's1' and p[-1] == 'kernel'}
+    assert {'t0_conv', 't1_reduce', 't1_conv', 't2_reduce', 't2_conv0',
+            't2_conv1', 'pool_proj', 'proj', 'out_conv'} <= inner
+    # and the total evaluates finitely with mixed coefficients
+    assert np.isfinite(float(net.regularization_loss(params)))
+
+
+def test_pva_negation_block_v2_accepts_ignored_scale_kwarg():
+    # the reference takes scale= and never reads it (network.py:519-520)
+    net, params, x, out = _run(
+        [('pva_negation_block_v2', (3, 3, 6, 1, 1, 4),
+          {'name': 'p', 'scale': False})],
+        in_shape=(1, 6, 6, 4))
+    assert out['p'].shape == (1, 6, 6, 6)
 
 
 def test_smooth_l1_dist_formula():

@@ -68,16 +68,20 @@ def test_regularization_paths():
     net = get_network('LSTM_train')
     params = net.init_params(jax.random.PRNGKey(0),
                              {'data': (1, 64, 32), 'time_step_len': (1,)})
-    reg_layers = {n for n, _ in net.reg_paths}
+    reg_layers = {n for n, _, _ in net.reg_paths}
     # conv kernels + the bi_lstm projection, NOT biases/BN/LSTM cells
     assert 'conv1' in reg_layers and 'conv5' in reg_layers and 'logits' in reg_layers
     r = float(net.regularization_loss(params))
     assert r > 0
-    # manual check: wd/2 * sum of squares over the collected tensors
+    # manual check: coeff/2 * sum of squares over the collected tensors
     import numpy as np
     expect = 0.0
-    for ln, k in net.reg_paths:
-        expect += cfg.TRAIN.WEIGHT_DECAY * 0.5 * float(np.sum(np.square(np.asarray(params[ln][k]))))
+    for ln, path, coeff in net.reg_paths:
+        w = params[ln]
+        for k in path:
+            w = w[k]
+        c = cfg.TRAIN.WEIGHT_DECAY if coeff is None else coeff
+        expect += c * 0.5 * float(np.sum(np.square(np.asarray(w))))
     assert abs(r - expect) < 1e-6 * max(1.0, expect)
 
 

@@ -58,6 +58,18 @@ def test_subsample_caps_fg_and_total():
     assert set(np.unique(ann[changed])) <= {0, 1}
 
 
+def test_subsample_uint8_annotation_keeps_caps():
+    """Ranks must not wrap in the annotation dtype (uint8 PNG masks)."""
+    rng = np.random.RandomState(5)
+    ann = np.concatenate([np.ones(800), np.zeros(1500)]).astype(np.uint8)
+    rng.shuffle(ann)
+    out = np.asarray(seg.subsample_fg_bg(jax.random.PRNGKey(3),
+                                         jnp.asarray(ann.reshape(46, 50))))
+    assert (out == 1).sum() == 500
+    assert (out == 0).sum() == 500
+    assert (out == 255).sum() == 1300
+
+
 def test_subsample_under_caps_is_identity():
     ann = np.concatenate([np.ones(100), np.zeros(200)]).astype(np.int32)
     out = np.asarray(seg.subsample_fg_bg(jax.random.PRNGKey(1),
