@@ -101,6 +101,11 @@ class SolverWrapper:
             # extra flat keys (opt_state/...) in the snapshot are ignored
             params = checkpoint.restore({'params': params}, path)['params']
             print('done (step {})'.format(step))
+        # restore() returns host numpy arrays; push the pytree to the device
+        # once — otherwise EVERY decode call re-transfers all ~7M params
+        # (hundreds of leaves), which through the TPU tunnel costs seconds
+        # per batch and dominated eval wall time
+        params = jax.device_put(params)
 
         decode_step = make_decode_step(self.net, dtype)
         _, decode_maps = get_encode_decode_dict()
