@@ -15,8 +15,7 @@ import random
 from multiprocessing import Pool, cpu_count
 
 from ..config import cfg
-from .captcha import ImageCaptcha
-from .gen import gen_rand
+from .gen import _renderer, gen_rand
 
 _out_dir = './data/val'
 
@@ -24,9 +23,9 @@ _out_dir = './data/val'
 def generate_one(ind: int) -> str:
     rng = random.Random(ind * 9176 + 11)
     chars = gen_rand(rng)
-    captcha = ImageCaptcha(fonts=[cfg.FONT])
+    renderer = _renderer()     # honours cfg.RENDERER (captcha or scene)
     path = os.path.join(_out_dir, '{:08d}_{}.png'.format(ind, chars))
-    captcha.write(chars, path, rng=rng)
+    renderer.write(chars, path, rng=rng)
     return path
 
 
