@@ -151,10 +151,11 @@ class SolverWrapper:
         memory stays O(batch), not O(dataset).
         """
         import time as _time
+        from PIL import Image
         by_bucket: Dict[int, List[str]] = {}
         for fname in files:
-            img = load_image(os.path.join(testDir, fname))
-            h, w = img.shape[:2]
+            # header-only read: grouping needs just the size, not the pixels
+            w, h = Image.open(os.path.join(testDir, fname)).size
             if h != cfg.IMG_HEIGHT:
                 w = int(cfg.IMG_HEIGHT / h * w)
             by_bucket.setdefault(pick_bucket(w), []).append(fname)
