@@ -68,23 +68,25 @@ def bench_tpu_train(steps=30, batch=64, width=96):
                          (b.image, b.label, b.label_len, b.time_step))
                    for b in host_batches]
 
-    rng = jax.random.PRNGKey(0)
-    # warmup: compile + 2 steady steps
-    for i in range(3):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, total, ctc = step(params, opt_state,
-                                             *dev_batches[i % len(dev_batches)], sub)
+    # warmup: compile, then enough steady steps for the tunnel's dispatch
+    # path to reach steady state (throughput ramps over the first few
+    # hundred dispatches in a fresh process)
+    it = 0
+    for _ in range(300):
+        params, opt_state, total, ctc = step(
+            params, opt_state, *dev_batches[it % len(dev_batches)], it)
+        it += 1
     jax.block_until_ready(total)
 
     # The TPU tunnel adds bursty dispatch latency; a single window swings
     # +-30%. Take the median of several windows for a stable number.
     rates = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
-        for i in range(steps):
-            rng, sub = jax.random.split(rng)
+        for _ in range(steps):
             params, opt_state, total, ctc = step(
-                params, opt_state, *dev_batches[i % len(dev_batches)], sub)
+                params, opt_state, *dev_batches[it % len(dev_batches)], it)
+            it += 1
         jax.block_until_ready(total)
         rates.append(steps * batch / (time.perf_counter() - t0))
     rates.sort()

@@ -102,12 +102,18 @@ def make_parallel_train_step(net, tx, dtype, mesh: Mesh, axis: str = 'data'):
     repl = replicated(mesh)
     dsh = batch_sharded(mesh, axis)
 
+    from ..config import cfg as _cfg
+    base_key = jax.random.PRNGKey(int(_cfg.RNG_SEED))
+
     @functools.partial(
         jax.jit,
         donate_argnums=(0, 1),
         in_shardings=(repl, repl, dsh, dsh, dsh, dsh, repl),
         out_shardings=(repl, repl, repl, repl))
-    def train_step(params, opt_state, image, label, label_len, time_step, rng):
+    def train_step(params, opt_state, image, label, label_len, time_step,
+                   step_idx):
+        # per-step key derived on-device (see engine.train.make_train_step)
+        rng = jax.random.fold_in(base_key, step_idx)
         (total, ctc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, image, label, label_len, time_step, rng)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -104,11 +104,9 @@ def test_train_step_reduces_loss():
         label_len = jnp.asarray(np.full((n,), 4, np.int32))
         time_step = jnp.asarray(np.full((n,), w // 4 - 1, np.int32))
         losses = []
-        key = jax.random.PRNGKey(1)
         for i in range(8):
-            key, sub = jax.random.split(key)
             params, opt_state, total, ctc = step(params, opt_state, image,
-                                                 label, label_len, time_step, sub)
+                                                 label, label_len, time_step, i)
             losses.append(float(ctc))
         assert losses[-1] < losses[0] * 0.9, losses
         assert np.isfinite(losses).all()

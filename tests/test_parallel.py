@@ -52,23 +52,21 @@ def test_parallel_step_matches_single_device(f32_cfg):
     tx = make_optimizer()
     rng = np.random.RandomState(0)
     image, label, label_len, time_step = _batch(n, w, rng)
-    key = jax.random.PRNGKey(42)
-
     # single device
     step1 = make_train_step(net, tx, None)
     p1, o1 = jax.tree.map(jnp.copy, params), tx.init(params)
-    for _ in range(2):
+    for it in range(2):
         p1, o1, total1, ctc1 = step1(p1, o1, jnp.asarray(image),
                                      jnp.asarray(label), jnp.asarray(label_len),
-                                     jnp.asarray(time_step), key)
+                                     jnp.asarray(time_step), it)
 
     # 8-device DP
     m = pmesh.make_mesh(8)
     step8 = pmesh.make_parallel_train_step(net, tx, None, m)
     p8, o8 = jax.tree.map(jnp.copy, params), tx.init(params)
     sharded = pmesh.shard_batch(m, image, label, label_len, time_step)
-    for _ in range(2):
-        p8, o8, total8, ctc8 = step8(p8, o8, *sharded, key)
+    for it in range(2):
+        p8, o8, total8, ctc8 = step8(p8, o8, *sharded, it)
 
     np.testing.assert_allclose(float(ctc1), float(ctc8), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
