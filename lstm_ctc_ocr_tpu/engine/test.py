@@ -22,8 +22,7 @@ from __future__ import annotations
 
 import math
 import os
-import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +33,7 @@ import numpy as np
 import optax
 
 from ..config import cfg
-from ..data.gen import get_batch, max_label_len
-from ..ops.ctc import ctc_loss
+from ..data.gen import get_batch
 from ..ops.decoder import greedy_decode
 from ..utils.metrics import accuracy_calculation
 from ..utils.profiler import StepProfiler
@@ -79,11 +77,14 @@ def compute_dtype():
 
 
 def make_loss_fn(net, dtype):
+    from ..ops.ctc import select_ctc_loss
+    ctc_loss_impl = select_ctc_loss()      # honors cfg.CTC_IMPL
+
     def loss_fn(params, image, label, label_len, time_step, rng):
         out = net.apply(params, {'data': image, 'time_step_len': time_step},
                         train=True, rng=rng, dtype=dtype)
         logits = jnp.transpose(out['logits'], (1, 0, 2))   # [N, T, C]
-        losses = ctc_loss(logits, label, label_len, time_step)
+        losses = ctc_loss_impl(logits, label, label_len, time_step)
         ctc = jnp.mean(losses)                             # train.py:... reduce_mean
         total = ctc + net.regularization_loss(params)
         return total, ctc

@@ -91,11 +91,11 @@ def _beam_single(logp, length, beam_width, blank):
         new_pnb = jnp.where(is_stay, new_pnb_stay[src],
                             ext.reshape(-1)[jnp.maximum(top_idx - k, 0)])
 
-        # masked frames (t >= length) keep the previous state
+        # masked frames (t >= length) keep the previous state; the scalar
+        # predicate broadcasts over any rank
         live = t < length
-        keep = lambda new, old: jnp.where(live, new, old) if new.ndim == 1 \
-            else jnp.where(live, new, old)
-        state = (jnp.where(live, new_prefixes, prefixes),
+        keep = lambda new, old: jnp.where(live, new, old)
+        state = (keep(new_prefixes, prefixes),
                  keep(new_plens, plens), keep(new_last, last),
                  keep(new_pb, p_b), keep(new_pnb, p_nb))
         return state, 0

@@ -175,6 +175,12 @@ def _ctc_vjp_bwd(saved, dloss):
     log_post = log_gamma - logz[None, :, None]
     post = jnp.exp(jnp.minimum(log_post, 0.0))
     post = jnp.where(log_post > NEG_INF / 2, post, 0.0)
+    # infeasible alignment (logit_len too short for the label): logz is
+    # NEG_INF and cancels against the NEG_INF in log_gamma, making log_post
+    # look finite — mask the whole example instead. Convention matches the
+    # C++ twin (native/ctc_ref.cpp:101): loss stays huge, gradient is 0.
+    feasible = (logz > NEG_INF / 2).astype(post.dtype)     # [N]
+    post = post * feasible[None, :, None]
     # zero out padded timesteps (their g was a constant, not logp)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (t_len, n), 0)
     post = post * (t_idx < logit_lens[None, :]).astype(post.dtype)[:, :, None]
@@ -189,6 +195,18 @@ def _ctc_vjp_bwd(saved, dloss):
 
 
 _ctc_on_logp.defvjp(_ctc_vjp_fwd, _ctc_vjp_bwd)
+
+
+def select_ctc_loss():
+    """The configured CTC loss implementation (cfg.CTC_IMPL): 'pallas' ->
+    the TPU forward-backward kernel, anything else -> this module's
+    lax.scan version. Single dispatch point for loss construction
+    (mirrors rnn.select_scan)."""
+    from ..config import cfg
+    if str(cfg.CTC_IMPL) == 'pallas':
+        from . import ctc_pallas
+        return ctc_pallas.ctc_loss_pallas
+    return ctc_loss
 
 
 def ctc_loss(logits, labels, label_lens, logit_lens):

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ctc import (NEG_INF, _gather_logp, _transition_masks, extended_labels)
+from .ctc import (NEG_INF, _gather_logp, _logsumexp3, _shift_right,
+                  _transition_masks, extended_labels)
 
 LANES = 128      # S axis padded to one register row
 TILE_N = 8       # examples per program (f32 sublane count)
@@ -42,18 +43,11 @@ def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
-def _shift1(x):
-    """x[:, s] <- x[:, s-1], NEG_INF fill (lane-axis shift on [8,128])."""
-    return jnp.concatenate(
-        [jnp.full((x.shape[0], 1), NEG_INF, x.dtype), x[:, :-1]], axis=1)
-
-
-def _lse3(a, b, c):
-    m = jnp.maximum(jnp.maximum(a, b), c)
-    m_safe = jnp.maximum(m, NEG_INF)
-    out = m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe)
-                           + jnp.exp(c - m_safe))
-    return jnp.where(m > NEG_INF / 2, out, NEG_INF)
+# the clamped log-sum-exp / S-axis shift numerics live in ops/ctc.py and are
+# rank-generic over the last axis — the [8, 128] kernel tiles reuse them so
+# a numerics fix lands in one place
+_shift1 = _shift_right
+_lse3 = _logsumexp3
 
 
 # --- forward kernel -----------------------------------------------------------
@@ -108,11 +102,16 @@ def _bwd_kernel(g_ref, skip_ref, valid_ref, final_ref, alphas_ref, logz_ref,
     # additive mask at source s for the s->s+2 hop: skip[s+2]
     skip_fwd = _shiftl(_shiftl(skip_in))
 
+    # infeasible alignment: logz is NEG_INF and cancels the NEG_INF in
+    # alpha+beta, so per-state guards pass — mask the whole example (zero
+    # grads, like the C++ twin, native/ctc_ref.cpp:101 and ops/ctc.py)
+    feasible = (logz > NEG_INF / 2).astype(g_ref.dtype)    # [8, 1]
+
     def emit(t, beta):
         g_t = g_ref[:, t, :]
         lg = alphas_ref[:, t, :] + beta - g_t - logz
         post = jnp.where(lg > NEG_INF / 2, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
-        grad_ref[:, t, :] = -post * tmask_ref[:, t, :]
+        grad_ref[:, t, :] = -post * feasible * tmask_ref[:, t, :]
 
     g_last = g_ref[:, t_len - 1, :]
     beta_last = jnp.maximum(g_last + final + valid, NEG_INF)

@@ -119,6 +119,58 @@ def test_impossible_alignment_is_infinite():
     assert out[0] > 1e20  # effectively +inf (log(0) clamp)
 
 
+def test_impossible_alignment_has_zero_grad():
+    """Infeasible examples must contribute zero gradient (the C++ twin's
+    convention, native/ctc_ref.cpp:101) — not the junk produced when the
+    NEG_INF logz cancels the NEG_INF in alpha+beta. Feasible examples in
+    the same batch keep their gradients."""
+    rng = np.random.RandomState(11)
+    logits = rng.randn(2, 2, 5).astype(np.float32)
+    labels = np.array([[1, 1], [2, 0]], np.int32)   # ex0: needs 3 frames, has 2
+    label_lens = np.array([2, 1], np.int32)
+    logit_lens = np.array([2, 2], np.int32)
+
+    def f(lg):
+        return jnp.sum(ctc_loss(lg, jnp.asarray(labels),
+                                jnp.asarray(label_lens),
+                                jnp.asarray(logit_lens)))
+
+    loss = np.asarray(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                               jnp.asarray(label_lens),
+                               jnp.asarray(logit_lens)))
+    g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    assert loss[0] > 1e20            # infeasible: loss effectively +inf
+    assert np.abs(g[0]).max() == 0.0  # ...and exactly zero gradient
+    assert np.isfinite(loss[1]) and np.abs(g[1]).max() > 0.0
+
+    # the Pallas kernel agrees (interpret mode off-TPU)
+    from lstm_ctc_ocr_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+    def fp(lg):
+        return jnp.sum(ctc_loss_pallas(lg, jnp.asarray(labels),
+                                       jnp.asarray(label_lens),
+                                       jnp.asarray(logit_lens)))
+
+    gp = np.asarray(jax.grad(fp)(jnp.asarray(logits)))
+    assert np.abs(gp[0]).max() == 0.0
+    np.testing.assert_allclose(gp[1], g[1], rtol=1e-5, atol=1e-6)
+
+
+def test_ctc_impl_dispatch():
+    """cfg.CTC_IMPL selects the implementation (mirrors cfg.LSTM_IMPL)."""
+    from lstm_ctc_ocr_tpu.config import cfg
+    from lstm_ctc_ocr_tpu.ops.ctc import select_ctc_loss
+    from lstm_ctc_ocr_tpu.ops import ctc_pallas
+    old = cfg.CTC_IMPL
+    try:
+        cfg.CTC_IMPL = 'pallas'
+        assert select_ctc_loss() is ctc_pallas.ctc_loss_pallas
+        cfg.CTC_IMPL = 'scan'
+        assert select_ctc_loss() is ctc_loss
+    finally:
+        cfg.CTC_IMPL = old
+
+
 def test_flat_wrapper_matches_dense():
     logits, labels, label_lens, logit_lens = _rand_case(5)
     flat = np.concatenate([labels[i, :label_lens[i]] for i in range(len(label_lens))])
