@@ -24,6 +24,19 @@ import time
 from typing import Callable, Iterator
 
 
+def _call_factory(factory, seed):
+    """Factories may take an optional seed argument (get_batch's does, so
+    inline mode is deterministic per stream); zero-arg factories rely on
+    the process-global seeding below."""
+    try:
+        import inspect
+        if len(inspect.signature(factory).parameters) >= 1:
+            return factory(seed)
+    except (TypeError, ValueError):
+        pass
+    return factory()
+
+
 def _worker_loop(gen_factory, q, stop_event, seed):
     # Never block process exit on flushing buffered items into a pipe the
     # consumer may have stopped reading (shutdown deadlock otherwise).
@@ -35,7 +48,7 @@ def _worker_loop(gen_factory, q, stop_event, seed):
     except Exception:
         pass
     try:
-        gen = gen_factory()
+        gen = _call_factory(gen_factory, seed)
         while not stop_event.is_set():
             item = next(gen)
             while not stop_event.is_set():
@@ -62,7 +75,9 @@ class GeneratorEnqueuer:
 
     def start(self, workers: int = 4, max_queue_size: int = 24) -> None:
         if workers <= 0:
-            self._inline_gen = self._gen_factory()
+            # inline mode honors the seed too (the docstring's determinism
+            # contract); seed-aware factories get it passed explicitly
+            self._inline_gen = _call_factory(self._gen_factory, self._seed)
             return
         ctx = mp.get_context('fork')
         self.queue = ctx.Queue(maxsize=max_queue_size)

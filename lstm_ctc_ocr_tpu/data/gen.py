@@ -36,13 +36,25 @@ def gen_rand(rng=None) -> str:
     return ''.join(rng.choice(cfg.CHARSET) for _ in range(n))
 
 
+_renderer_cache = {}
+
+
 def _renderer():
     """Renderer per ``cfg.RENDERER``: 'captcha' (reference parity) or
-    'scene' (photo-like text lines, BASELINE config #5)."""
-    if str(cfg.RENDERER) == 'scene':
-        from .scene import SceneTextRenderer
-        return SceneTextRenderer(fonts=[cfg.FONT])
-    return ImageCaptcha(fonts=[cfg.FONT])
+    'scene' (photo-like text lines, BASELINE config #5). Cached per
+    (renderer, font): renderers parse the TrueType font at several sizes
+    on construction, which would otherwise repeat for every image on the
+    render-bound 1-core host path."""
+    key = (str(cfg.RENDERER), str(cfg.FONT))
+    r = _renderer_cache.get(key)
+    if r is None:
+        if key[0] == 'scene':
+            from .scene import SceneTextRenderer
+            r = SceneTextRenderer(fonts=[cfg.FONT])
+        else:
+            r = ImageCaptcha(fonts=[cfg.FONT])
+        _renderer_cache[key] = r
+    return r
 
 
 def generate_img(rng=None) -> Tuple[np.ndarray, str]:
@@ -150,13 +162,16 @@ def bucket_batch(imgs: List[np.ndarray], labels: List[str],
 
     n = len(imgs)
     l_max = max_label_len()
-    image = np.zeros((n, w_bucket, nh), np.float32)
+    # feature dim = IMG_HEIGHT * NCHANNELS (reference NUM_FEATURES layout:
+    # channels flatten into the per-timestep feature vector, config.py:27-28)
+    image = np.zeros((n, w_bucket, int(cfg.NUM_FEATURES)), np.float32)
     label = np.zeros((n, l_max), np.int32)
     label_len = np.zeros((n,), np.int32)
     time_step = np.zeros((n,), np.int32)
     for i, (im, lab) in enumerate(zip(resized, labels)):
         w = im.shape[1]
-        image[i, :w, :] = (im.astype(np.float32) / 255.0).swapaxes(0, 1)
+        image[i, :w, :] = (im.astype(np.float32) / 255.0) \
+            .swapaxes(0, 1).reshape(w, -1)
         code = [encode_maps[c] for c in lab]
         assert len(code) <= l_max, f'label longer than MAX_LEN: {lab}'
         label[i, :len(code)] = code
@@ -199,7 +214,12 @@ def get_batch(num_workers: int, seed: int = 0, **kwargs):
     hosts and in tests). Returns a generator; the enqueuer is stopped when
     the generator is closed.
     """
-    enq = GeneratorEnqueuer(lambda: generator(**kwargs), seed=seed)
+    explicit_rng = kwargs.pop('rng', None)
+    enq = GeneratorEnqueuer(
+        lambda s=None: generator(
+            rng=explicit_rng if explicit_rng is not None
+            else (random.Random(s) if s is not None else None), **kwargs),
+        seed=seed)
     enq.start(workers=num_workers)
 
     def _stream():

@@ -42,7 +42,8 @@ MAGIC = b'LCOR'
 IDX_MAGIC = b'XIDX'
 VERSION = 1
 
-_LABEL_RE = re.compile(r'^\d+_([0-9a-zA-Z]+)\.(png|jpg|jpeg|bmp)$')
+_LABEL_RE = re.compile(r'^\d+_([0-9a-zA-Z]+)\.(png|jpg|jpeg|bmp)$',
+                       re.IGNORECASE)
 
 
 def parse_label_from_filename(fname: str) -> Optional[str]:

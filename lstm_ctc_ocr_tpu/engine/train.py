@@ -91,18 +91,26 @@ def make_loss_fn(net, dtype):
     return loss_fn
 
 
-def make_train_step(net, tx, dtype):
+def make_train_step(net, tx, dtype, in_shardings=None, out_shardings=None):
     """The jitted train step takes the *iteration number* (a traced int32
     scalar), not a PRNG key: the per-step key is derived on-device via
     ``fold_in``. A host-side ``jax.random.split`` per iteration is a tiny
     device op whose dispatch round-trip serializes the pipeline — removing
     it alone takes the measured chip throughput from ~128k to ~377k img/s
     through the TPU tunnel. fold_in(base, it) is also deterministic per
-    iteration, so resume reproduces the exact key stream."""
+    iteration, so resume reproduces the exact key stream.
+
+    ``in_shardings``/``out_shardings`` annotate the same program for a
+    device mesh (parallel/mesh.py delegates here, so single-chip and
+    multi-chip training are literally the same step function)."""
     loss_fn = make_loss_fn(net, dtype)
     base_key = jax.random.PRNGKey(int(cfg.RNG_SEED))
+    jit_kwargs = {'donate_argnums': (0, 1)}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, **jit_kwargs)
     def train_step(params, opt_state, image, label, label_len, time_step,
                    step_idx):
         rng = jax.random.fold_in(base_key, step_idx)
@@ -115,8 +123,13 @@ def make_train_step(net, tx, dtype):
     return train_step
 
 
-def make_decode_step(net, dtype):
-    @jax.jit
+def make_decode_step(net, dtype, in_shardings=None, out_shardings=None):
+    jit_kwargs = {}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def decode_step(params, image, time_step):
         out = net.apply(params, {'data': image, 'time_step_len': time_step},
                         train=False, dtype=dtype)

@@ -57,6 +57,14 @@ int ctc_loss_grad(const float* logits, const int32_t* labels,
       for (int i = 0; i < T * C; ++i) gr[i] = 0.0f;
     }
 
+    // degenerate input lengths: no frames means no alignment exists for a
+    // nonempty label (loss +inf, zero grad) and probability 1 for an empty
+    // one; guards the unconditional alpha[0] write below against t_len<=0
+    if (t_len <= 0) {
+      losses[n] = l_len > 0 ? (float)(-kNegInf) : 0.0f;
+      continue;
+    }
+
     // extended label sequence: blank, l1, blank, l2, ..., blank
     std::vector<int> ext(S);
     for (int s = 0; s < S; ++s)

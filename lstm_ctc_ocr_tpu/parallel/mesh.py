@@ -96,49 +96,23 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = 'data'):
 
 
 def make_parallel_train_step(net, tx, dtype, mesh: Mesh, axis: str = 'data'):
-    """DP train step: params/opt replicated, batch sharded; grads psum'd by XLA."""
-    import optax
-    loss_fn = make_loss_fn(net, dtype)
+    """DP train step: params/opt replicated, batch sharded; grads psum'd by
+    XLA. Delegates to the single-chip factory with sharding annotations, so
+    multi-chip training is literally the same step function."""
+    from ..engine.train import make_train_step
     repl = replicated(mesh)
     dsh = batch_sharded(mesh, axis)
-
-    from ..config import cfg as _cfg
-    base_key = jax.random.PRNGKey(int(_cfg.RNG_SEED))
-
-    @functools.partial(
-        jax.jit,
-        donate_argnums=(0, 1),
+    return make_train_step(
+        net, tx, dtype,
         in_shardings=(repl, repl, dsh, dsh, dsh, dsh, repl),
         out_shardings=(repl, repl, repl, repl))
-    def train_step(params, opt_state, image, label, label_len, time_step,
-                   step_idx):
-        # per-step key derived on-device (see engine.train.make_train_step)
-        rng = jax.random.fold_in(base_key, step_idx)
-        (total, ctc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, image, label, label_len, time_step, rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, total, ctc
-
-    return train_step
 
 
 def make_parallel_decode_step(net, dtype, mesh: Mesh, axis: str = 'data'):
-    """DP decode step for batched validation/eval across the mesh."""
-    from ..config import cfg
-    from ..ops.decoder import greedy_decode
+    """DP decode step for batched validation/eval across the mesh (same
+    delegation as the train step)."""
+    from ..engine.train import make_decode_step
     repl = replicated(mesh)
     dsh = batch_sharded(mesh, axis)
-
-    @functools.partial(jax.jit, in_shardings=(repl, dsh, dsh),
-                       out_shardings=dsh)
-    def decode_step(params, image, time_step):
-        out = net.apply(params, {'data': image, 'time_step_len': time_step},
-                        train=False, dtype=dtype)
-        logits = jnp.transpose(out['logits'], (1, 0, 2))
-        if cfg.DECODER == 'beam':
-            from ..ops.beam import beam_decode
-            return beam_decode(logits, time_step, beam_width=cfg.BEAM_WIDTH)
-        return greedy_decode(logits, time_step)
-
-    return decode_step
+    return make_decode_step(net, dtype, in_shardings=(repl, dsh, dsh),
+                            out_shardings=dsh)

@@ -92,6 +92,46 @@ def test_generator_inline_stream():
     g.close()
 
 
+def test_inline_stream_is_seeded():
+    """get_batch(num_workers=0, seed=S) is deterministic per stream — the
+    documented contract the cached val batch relies on (engine/train.py)."""
+    a = next(gen.get_batch(num_workers=0, seed=5, batch_size=4))
+    b = next(gen.get_batch(num_workers=0, seed=5, batch_size=4))
+    c = next(gen.get_batch(num_workers=0, seed=6, batch_size=4))
+    np.testing.assert_array_equal(a.label, b.label)
+    np.testing.assert_array_equal(a.image, b.image)
+    assert not np.array_equal(a.label, c.label)
+
+
+def test_bucket_batch_multichannel():
+    """NCHANNELS=3 flattens channels into the NUM_FEATURES axis (reference
+    config.py:27-28 layout), matching the eval loader."""
+    old = dict(cfg)
+    try:
+        cfg.NCHANNELS = 3
+        cfg.NUM_FEATURES = cfg.IMG_HEIGHT * 3
+        rng = np.random.RandomState(0)
+        imgs = [rng.randint(0, 256, (32, w, 3), np.uint8) for w in (40, 50)]
+        batch = gen.bucket_batch(imgs, ['ab', 'cde'])
+        assert batch.image.shape[2] == cfg.IMG_HEIGHT * 3
+        # values survive the flatten round-trip
+        w = 40
+        got = batch.image[0, :w].reshape(w, 32, 3)
+        np.testing.assert_allclose(
+            got, imgs[0].astype(np.float32).swapaxes(0, 1) / 255.0)
+    finally:
+        cfg.clear()
+        for k, v in old.items():
+            cfg[k] = v
+
+
+def test_records_filename_regex_case_insensitive():
+    from lstm_ctc_ocr_tpu.data.records import parse_label_from_filename
+    assert parse_label_from_filename('00000001_aB3.PNG') == 'aB3'
+    assert parse_label_from_filename('00000001_aB3.png') == 'aB3'
+    assert parse_label_from_filename('readme.txt') is None
+
+
 def test_metrics_accuracy_and_label_helpers():
     from lstm_ctc_ocr_tpu.utils.metrics import (accuracy_calculation,
                                                 merge_labels, restore_labels)
