@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Training CLI — flag surface mirrors /root/reference/lstm/train_net.py:17-48
 (--gpu --iters --cfg --pre_train --rand --network --set --restore) so
-``./train.sh`` works unchanged on the TPU-native engine underneath."""
+``./train.sh`` works unchanged on the TPU-native engine underneath.
+
+Beyond the reference (which pins one GPU via CUDA_VISIBLE_DEVICES,
+train_net.py:59), this entry initialises the multi-host JAX runtime when
+coordinator env vars are present and lets the solver build a DP mesh over
+every visible chip (cfg.PARALLEL)."""
 
 import argparse
 import os.path
@@ -18,31 +23,37 @@ from lstm_ctc_ocr_tpu.config import (AttrDict, cfg, cfg_from_file,
                                      get_output_dir)
 from lstm_ctc_ocr_tpu.engine.train import train_net
 from lstm_ctc_ocr_tpu.models.factory import get_network
+from lstm_ctc_ocr_tpu.parallel.mesh import init_distributed
 
 
 def parse_args():
-    parser = argparse.ArgumentParser(description='Train a lstm network')
+    parser = argparse.ArgumentParser(
+        description='Train the CRNN+CTC OCR model')
     parser.add_argument('--gpu', dest='gpu_id',
-                        help='device id to use [0] (accepted for reference '
-                             'compat; JAX owns device placement)',
+                        help='accepted for reference-CLI compatibility; '
+                             'JAX owns device placement on TPU',
                         default=0, type=int)
     parser.add_argument('--iters', dest='max_iters',
-                        help='number of iterations to train',
+                        help='training iteration budget',
                         default=1000000, type=int)
     parser.add_argument('--cfg', dest='cfg_file',
-                        help='optional config file', default=None, type=str)
+                        help='YAML experiment config merged over the defaults',
+                        default=None, type=str)
     parser.add_argument('--pre_train', dest='pre_train',
-                        help='pre trained model', default=None, type=str)
+                        help='checkpoint or .npy weight dict to initialise from',
+                        default=None, type=str)
     parser.add_argument('--rand', dest='randomize',
-                        help='randomize (do not use a fixed seed)',
+                        help='skip the fixed RNG seed (non-reproducible run)',
                         action='store_true')
     parser.add_argument('--network', dest='network_name',
-                        help='name of the network', default=None, type=str)
+                        help='model name to build (LSTM_train)',
+                        default=None, type=str)
     parser.add_argument('--set', dest='set_cfgs',
-                        help='set config keys', default=None,
-                        nargs=argparse.REMAINDER)
+                        help='dotted-path config overrides: KEY VALUE ...',
+                        default=None, nargs=argparse.REMAINDER)
     parser.add_argument('--restore', dest='restore',
-                        help='restore or not', default=0, type=int)
+                        help='1: resume from the latest checkpoint in the '
+                             'output dir', default=0, type=int)
     if len(sys.argv) == 1:
         parser.print_help()
     return parser.parse_args()
@@ -50,31 +61,37 @@ def parse_args():
 
 if __name__ == '__main__':
     args = parse_args()
-    print('Called with args:')
+    print('CLI arguments:')
     print(args)
     if args.cfg_file is not None:
         cfg_from_file(args.cfg_file)
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs)
 
-    print('Using config:')
+    print('Effective config:')
     pprint.pprint(cfg)
 
     if not args.randomize:
         np.random.seed(cfg.RNG_SEED)
 
-    output_network_name = args.network_name.split('_')[-1]
-    imgdb = AttrDict({'path': './data/train_4_6.records',
-                      'name': 'lstm_' + output_network_name,
+    # multi-host runtime (no-op unless JAX_COORDINATOR_ADDRESS etc. are set);
+    # must run before the solver enumerates jax.devices()
+    n_proc = init_distributed()
+    if n_proc > 1:
+        print('distributed runtime: {} host processes'.format(n_proc))
+
+    net_tag = args.network_name.split('_')[-1]
+    imgdb = AttrDict({'path': str(cfg.RECORDS_PATH),
+                      'name': 'lstm_' + net_tag,
                       'val_path': './data/val.records'})
 
     output_dir = get_output_dir(imgdb, None)
     log_dir = get_log_dir(imgdb)
-    print('Output will be saved to `{:s}`'.format(output_dir))
-    print('Logs will be saved to `{:s}`'.format(log_dir))
+    print('checkpoints -> {:s}'.format(output_dir))
+    print('tensorboard events -> {:s}'.format(log_dir))
 
     network = get_network(args.network_name)
-    print('Use network `{:s}` in training'.format(args.network_name))
+    print('training model: {:s}'.format(args.network_name))
 
     train_net(network, imgdb,
               pre_train=args.pre_train,

@@ -74,12 +74,13 @@ __C.CHARSET = '0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'
 __C.NCLASSES = len(__C.CHARSET) + 2    # ref quirk preserved: only 0..62 used
 __C.MIN_LEN = 4
 __C.MAX_LEN = 6
-# The reference ships fonts/Ubuntu-M.ttf; we default to a system font but
-# honour a repo-local fonts/ dir if the user drops a ttf there.
-# DejaVuSerif: in DejaVuSans the 'l' and 'I' glyphs are near-identical
-# vertical bars, capping exact-match accuracy on the 62-char set at ~92%
-# no matter how good the model is; the serif face keeps them distinct.
-__C.FONT = '/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf'
+# The reference ships fonts/Ubuntu-M.ttf (config.py:26); we ship an
+# open-licensed repo-local face (fonts/DejaVuSerif.ttf + LICENSE) and resolve
+# through a fallback chain (resolve_font below) so the synth pipeline works
+# on hosts without any system fonts. DejaVuSerif over Sans: Sans renders 'l'
+# and 'I' as near-identical vertical bars, capping exact-match accuracy on
+# the 62-char set at ~92% no matter how good the model is.
+__C.FONT = 'fonts/DejaVuSerif.ttf'
 __C.NCHANNELS = 1
 __C.NUM_FEATURES = __C.IMG_HEIGHT * __C.NCHANNELS
 
@@ -135,7 +136,16 @@ __C.CTC_IMPL = 'pallas'        # 'pallas' | 'jax'   (Pallas kernel vs lax.scan)
 __C.LSTM_IMPL = 'pallas'       # 'pallas' | 'jax'   (fused VMEM-resident scan)
 __C.DECODER = 'greedy'         # 'greedy' | 'beam'
 __C.BEAM_WIDTH = 16
+# Reference decodes with ctc_beam_search_decoder(merge_repeated=True)
+# (network.py:656): post-collapse adjacent repeats in the decoded labels.
+# Off by default (it deletes legitimate double letters); on = parity mode.
+__C.BEAM_MERGE_REPEATED = False
 __C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev path)
+# Device parallelism for the training CLI: 'auto' builds a DP mesh over every
+# visible chip (largest device count dividing the batch sizes), 'off' forces
+# the single-device step. The reference is single-GPU (train_net.py:59);
+# multi-chip DP over ICI is the TPU-native scale-out (parallel/mesh.py).
+__C.PARALLEL = 'auto'          # 'auto' | 'off'
 __C.RENDERER = 'captcha'       # 'captcha' (reference parity) | 'scene' (photo-like)
 __C.RECORDS_PATH = './data/train_4_6.records'
 __C.POOL_SIZE = 20000          # pre-rendered images for the 'pool' backend
@@ -145,6 +155,39 @@ __C.POOL_REFRESH = 2           # images re-rendered per served batch
 __C.PROFILE_DIR = ''           # e.g. 'logs/profile'; '' disables
 __C.PROFILE_START = 20         # first traced step (past compile/warmup)
 __C.PROFILE_STEPS = 10         # how many steps to trace
+
+
+def resolve_font(font=None):
+    """Resolve ``cfg.FONT`` to an existing .ttf via a fallback chain.
+
+    Order: the configured path as given -> relative to the repo root -> any
+    repo-local ``fonts/*.ttf`` (the bundled asset, like the reference's
+    ``fonts/Ubuntu-M.ttf``) -> common system DejaVu paths -> first .ttf found
+    under /usr/share/fonts. Raises FileNotFoundError with the chain tried.
+    """
+    import glob
+    font = font if font is not None else __C.FONT
+    tried = []
+    cand = [str(font), osp.join(__C.ROOT_DIR, str(font))]
+    for p in cand:
+        if osp.isfile(p):
+            return osp.abspath(p)
+        tried.append(p)
+    bundled = sorted(glob.glob(osp.join(__C.ROOT_DIR, 'fonts', '*.ttf')))
+    serif = [p for p in bundled if 'Serif' in osp.basename(p)]
+    for p in serif + bundled:
+        return p
+    tried.append(osp.join(__C.ROOT_DIR, 'fonts', '*.ttf'))
+    for p in ['/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf',
+              '/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf']:
+        if osp.isfile(p):
+            return p
+        tried.append(p)
+    system = sorted(glob.glob('/usr/share/fonts/**/*.ttf', recursive=True))
+    if system:
+        return system[0]
+    tried.append('/usr/share/fonts/**/*.ttf')
+    raise FileNotFoundError('no usable .ttf found; tried: ' + ', '.join(tried))
 
 
 def get_encode_decode_dict():

@@ -45,14 +45,16 @@ def _renderer():
     (renderer, font): renderers parse the TrueType font at several sizes
     on construction, which would otherwise repeat for every image on the
     render-bound 1-core host path."""
-    key = (str(cfg.RENDERER), str(cfg.FONT))
+    from ..config import resolve_font
+    font = resolve_font()                 # bundled-fonts fallback chain
+    key = (str(cfg.RENDERER), font)
     r = _renderer_cache.get(key)
     if r is None:
         if key[0] == 'scene':
             from .scene import SceneTextRenderer
-            r = SceneTextRenderer(fonts=[cfg.FONT])
+            r = SceneTextRenderer(fonts=[font])
         else:
-            r = ImageCaptcha(fonts=[cfg.FONT])
+            r = ImageCaptcha(fonts=[font])
         _renderer_cache[key] = r
     return r
 

@@ -23,7 +23,9 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
-DEFAULT_FONT = '/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf'
+def _default_font() -> str:
+    from ..config import resolve_font
+    return resolve_font()                 # bundled-fonts fallback chain
 
 
 def _noise_texture(w: int, h: int, rng, base: int, spread: int) -> Image.Image:
@@ -44,7 +46,7 @@ class SceneTextRenderer:
                  fonts: Optional[Sequence[str]] = None,
                  font_sizes: Optional[Sequence[int]] = None):
         self._height = height
-        self._fonts = list(fonts) if fonts else [DEFAULT_FONT]
+        self._fonts = list(fonts) if fonts else [_default_font()]
         self._font_sizes = tuple(font_sizes) if font_sizes else (34, 40, 46)
 
     def generate_image(self, chars: str, rng=None) -> Image.Image:

@@ -135,6 +135,13 @@ def load_npy_pretrained(params, path: str, ignore_missing: bool = False):
                 continue
             cur = dst[name]
             if tuple(np.shape(cur)) != tuple(np.shape(val)):
+                # reference Network.load catches the assign ValueError and
+                # skips the tensor under ignore_missing (network.py:57-63) —
+                # e.g. migrating weights with a different NCLASSES head
+                if ignore_missing:
+                    print('skipping {}: ckpt shape {} vs model {}'.format(
+                        where, np.shape(val), np.shape(cur)))
+                    continue
                 raise ValueError('shape mismatch for {}: {} vs {}'.format(
                     where, np.shape(val), np.shape(cur)))
             dst[name] = np.asarray(val)

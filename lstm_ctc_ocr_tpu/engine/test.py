@@ -154,7 +154,9 @@ class SolverWrapper:
         by_bucket: Dict[int, List[str]] = {}
         for fname in files:
             # header-only read: grouping needs just the size, not the pixels
-            w, h = Image.open(os.path.join(testDir, fname)).size
+            # (close the handle — the lazy open would leak one fd per image)
+            with Image.open(os.path.join(testDir, fname)) as im:
+                w, h = im.size
             if h != cfg.IMG_HEIGHT:
                 w = int(cfg.IMG_HEIGHT / h * w)
             by_bucket.setdefault(pick_bucket(w), []).append(fname)

@@ -136,7 +136,8 @@ def make_decode_step(net, dtype, in_shardings=None, out_shardings=None):
         logits = jnp.transpose(out['logits'], (1, 0, 2))
         if cfg.DECODER == 'beam':
             from ..ops.beam import beam_decode
-            return beam_decode(logits, time_step, beam_width=cfg.BEAM_WIDTH)
+            return beam_decode(logits, time_step, beam_width=cfg.BEAM_WIDTH,
+                               merge_repeated=bool(cfg.BEAM_MERGE_REPEATED))
         return greedy_decode(logits, time_step)
     return decode_step
 
@@ -173,21 +174,52 @@ class SolverWrapper:
         'synth'   — fresh multiprocess captcha stream (beta path, gen.py)
         'pool'    — pre-rendered pool with incremental refresh (weak hosts)
         'records' — serialized dataset (dev path, tf_records.py equivalent)
+
+        On a multi-host mesh each host feeds its own local shard, so synth
+        seeds are offset per process (records/pool epochs are likewise
+        decorrelated across hosts through the same seed offset).
         """
         backend = str(cfg.DATA_BACKEND)
+        seed = int(cfg.RNG_SEED) + 100003 * jax.process_index()
         if backend == 'records':
             from ..data.records import RecordsDataset
             ds = RecordsDataset(str(cfg.RECORDS_PATH))
             print('records backend: {} examples from {}'.format(
                 len(ds), cfg.RECORDS_PATH))
-            return ds.batch_iterator(batch_size, shuffle=True, seed=cfg.RNG_SEED)
+            return ds.batch_iterator(batch_size, shuffle=True, seed=seed)
         if backend == 'pool':
             from ..data.pool import PoolSampler
-            pool = PoolSampler(int(cfg.POOL_SIZE), seed=cfg.RNG_SEED)
+            pool = PoolSampler(int(cfg.POOL_SIZE), seed=seed)
             return pool.batch_iterator(batch_size)
         workers = effective_workers(int(cfg.TRAIN.NUM_WORKERS))
-        return get_batch(num_workers=workers, seed=cfg.RNG_SEED,
+        return get_batch(num_workers=workers, seed=seed,
                          batch_size=batch_size, bucketed=True)
+
+    @staticmethod
+    def _select_mesh(batch_size):
+        """DP mesh over the visible chips, or None for the single-device step.
+
+        'auto' picks the largest device count that divides both the train and
+        val batch sizes (every shard must be equal — static shapes). The
+        reference trains on exactly one GPU (train_net.py:59); here
+        ``./train.sh`` scales over every chip JAX can see.
+        """
+        if str(cfg.PARALLEL) == 'off':
+            return None
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            return None
+        val_bs = int(cfg.VAL.BATCH_SIZE)
+        nd = n_dev
+        while nd > 1 and (batch_size % nd or val_bs % nd):
+            nd -= 1
+        if nd <= 1:
+            print('PARALLEL=auto: batch sizes ({}, {}) share no divisor with '
+                  '{} devices; using the single-device step'.format(
+                      batch_size, val_bs, n_dev))
+            return None
+        from ..parallel import mesh as pmesh
+        return pmesh.make_mesh(nd)
 
     def train_model(self, max_iters, restore=False):
         enable_persistent_compile_cache()
@@ -222,12 +254,36 @@ class SolverWrapper:
                     {'params': params}, self.pre_train)['params']
             print('Loaded pre-trained weights from {}'.format(self.pre_train))
 
-        train_step = make_train_step(self.net, tx, dtype)
-        decode_step = make_decode_step(self.net, dtype)
+        mesh = self._select_mesh(n)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            print('DP mesh over {} device(s): {}'.format(
+                mesh.size, [str(d) for d in mesh.devices.flat]))
+            train_step = pmesh.make_parallel_train_step(self.net, tx, dtype, mesh)
+            decode_step = pmesh.make_parallel_decode_step(self.net, dtype, mesh)
+            repl = pmesh.replicated(mesh)
+            params = jax.device_put(params, repl)
+            opt_state = jax.device_put(opt_state, repl)
+            if jax.process_count() > 1:
+                def put(*arrays):
+                    """Local shard -> global batch-sharded arrays (multi-host)."""
+                    return pmesh.shard_host_batch(mesh, *arrays)
+            else:
+                def put(*arrays):
+                    return pmesh.shard_batch(mesh, *arrays)
+        else:
+            train_step = make_train_step(self.net, tx, dtype)
+            decode_step = make_decode_step(self.net, dtype)
 
-        train_gen = self._make_train_stream(n)
+            def put(*arrays):
+                return tuple(jnp.asarray(a) for a in arrays)
+
+        # each host renders/reads only its local slice of the global batch
+        local_n = n // jax.process_count()
+        local_val = int(cfg.VAL.BATCH_SIZE) // jax.process_count()
+        train_gen = self._make_train_stream(local_n)
         val_gen = get_batch(num_workers=0, seed=cfg.RNG_SEED + 7,
-                            batch_size=int(cfg.VAL.BATCH_SIZE), bucketed=True)
+                            batch_size=local_val, bucketed=True)
 
         timer = Timer()
         prof = StepProfiler()
@@ -251,30 +307,39 @@ class SolverWrapper:
             if val_batch is None:  # cached first batch (train.py:146-149)
                 val_batch = next(val_gen)
             vb = val_batch
-            dec = np.asarray(decode_step(params, jnp.asarray(vb.image),
-                                         jnp.asarray(vb.time_step)))
+            dec_arr = decode_step(params, *put(vb.image, vb.time_step))
+            if jax.process_count() > 1:
+                # this host's rows only: its addressable shards, global order
+                shards = sorted(dec_arr.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                dec = np.concatenate([np.asarray(s.data) for s in shards])
+            else:
+                dec = np.asarray(dec_arr)
             org = [vb.label[i, :vb.label_len[i]].tolist()
                    for i in range(vb.label.shape[0])]
             acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
             self.writer.add_scalar('val_accuracy', acc, it)
             print('accuracy: {:.5f}'.format(acc), flush=True)
 
-        def process(it, ctc_arr, step_secs, cur_it):
+        def process(it, total_arr, step_secs, cur_it):
             """Lagged per-iter bookkeeping for step ``it`` (params/opt_state
-            have since advanced through step ``cur_it``)."""
+            have since advanced through step ``cur_it``). The displayed and
+            logged value is the TOTAL loss (CTC + L2 collection), matching
+            the reference's summary/display scalar (network.py:660-662 into
+            train.py:135-138)."""
             nonlocal loss_min
-            ctc_val = float(ctc_arr)
-            self.writer.add_scalar('loss', ctc_val, it)
+            loss_val = float(total_arr)
+            self.writer.add_scalar('loss', loss_val, it)
 
             if it % cfg.TRAIN.DISPLAY == 0:
                 lr_now = float(lr_schedule(it))
                 print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
-                      (it, max_iters, ctc_val, lr_now), end=' ')
+                      (it, max_iters, loss_val, lr_now), end=' ')
                 print('speed: {:.3f}s / iter'.format(step_secs), flush=True)
 
-            if ctc_val < loss_min:
-                print('loss: ', ctc_val, end=' ')
-                loss_min = ctc_val
+            if loss_val < loss_min:
+                print('loss: ', loss_val, end=' ')
+                loss_min = loss_val
                 # params currently in scope are post-step cur_it
                 self.snapshot({'params': params, 'opt_state': opt_state},
                               cur_it + 1)
@@ -288,13 +353,12 @@ class SolverWrapper:
                 # per-step key folds in on-device (make_train_step); a host
                 # split here would add a dispatch round-trip every iter
                 params, opt_state, total, ctc = train_step(
-                    params, opt_state, jnp.asarray(b.image),
-                    jnp.asarray(b.label), jnp.asarray(b.label_len),
-                    jnp.asarray(b.time_step), it)
+                    params, opt_state,
+                    *put(b.image, b.label, b.label_len, b.time_step), it)
                 timer.toc(average=False)
                 if pending is not None:
                     process(*pending, cur_it=it)
-                pending = (it, ctc, timer.diff)
+                pending = (it, total, timer.diff)
 
                 if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                     self.snapshot({'params': params, 'opt_state': opt_state},

@@ -11,12 +11,20 @@ TPU-first shape discipline: the beam state is fully static —
 over time, one ``top_k`` over the K*(C+1) candidate scores per step, and a
 ``vmap`` over the batch. No host-side hypothesis sets.
 
+Cross-beam prefix merge: identical prefixes arising on different beams
+(a "stay" of one beam colliding with an "extend" of another) are re-merged
+every step — candidates are expanded to the top 2K, duplicates detected via
+a static [2K, 2K] prefix-equality matrix, their blank/non-blank masses
+combined with a masked logsumexp, and the merged set re-ranked down to K.
+This matches the hypothesis-map merging of TF's C++ decoder without any
+dynamic shapes.
+
 Documented deviations from TF's C++ decoder:
 * blank is class 0 (the training convention of warp-ctc and this
   framework), not TF's last-class;
-* duplicate prefixes arising on *different* beams are not re-merged
-  (exact within-beam merging only) — the usual static-shape tradeoff;
-  with peaked OCR posteriors, beam and greedy agree almost always;
+* TF merges duplicates in its scoring map *before* beam pruning; we merge
+  after pruning to 2K candidates, which can differ when more than 2K
+  candidates matter — vanishingly rare at OCR posteriors;
 * ``merge_repeated=True``-style post-collapse is NOT applied (TF's own
   docs call that mode "much less likely to be correct"); repeats are
   handled correctly by the CTC transition rules instead.
@@ -39,13 +47,27 @@ def _lse(a, b):
     return jnp.where(m > NEG_INF / 2, out, NEG_INF)
 
 
-def _beam_single(logp, length, beam_width, blank):
+def _row_lse(v):
+    """Row-wise logsumexp of a [K, K] matrix (NEG_INF-safe)."""
+    m = jnp.max(v, axis=1)
+    m_safe = jnp.maximum(m, NEG_INF)
+    out = m_safe + jnp.log(jnp.sum(jnp.exp(v - m_safe[:, None]), axis=1))
+    return jnp.where(m > NEG_INF / 2, out, NEG_INF)
+
+
+def _beam_single(logp, length, beam_width, blank, merge_repeated):
     """Beam search for one example. logp: [T, C]; returns [T] dense ids."""
     t_len, c = logp.shape
     k = beam_width
 
-    prefixes = jnp.zeros((k, t_len), jnp.int32)
-    plens = jnp.zeros((k,), jnp.int32)
+    # Beam 0 holds the empty prefix; beams 1..K-1 start dead. Poison the dead
+    # beams with unique negative first chars and an impossible length so the
+    # merge's "live beams are pairwise distinct keys" invariant holds from
+    # t=0 (otherwise K duplicate empty prefixes could later each absorb the
+    # same extend mass and double-count it).
+    poison = -(jnp.arange(k, dtype=jnp.int32) + 1)
+    prefixes = jnp.zeros((k, t_len), jnp.int32).at[1:, 0].set(poison[1:])
+    plens = jnp.where(jnp.arange(k) == 0, 0, t_len).astype(jnp.int32)
     last = jnp.full((k,), -1, jnp.int32)
     p_b = jnp.full((k,), NEG_INF).at[0].set(0.0)   # only beam 0 active
     p_nb = jnp.full((k,), NEG_INF)
@@ -70,6 +92,35 @@ def _beam_single(logp, length, beam_width, blank):
         ext = base + y[None, :]
         ext = ext.at[:, blank].set(NEG_INF)        # blank never extends
 
+        # --- exact cross-beam prefix merge (TF hash-map semantics) --------
+        # The candidate map {prefix -> mass} has keys {P_i} (stays) and
+        # {P_j + ch} (extends). Since live beams are pairwise distinct,
+        # the ONLY possible key collision is a stay(i) with an ext(j, ch)
+        # where P_i == P_j + [ch] — i.e. ch == last_i and P_j is P_i minus
+        # its last char. That is a [K, K] match problem, solved exactly:
+        # fold each such ext's mass into the stay's non-blank mass and kill
+        # the ext candidate. (Positions >= plen are always 0 — invariant of
+        # the append-at-plen construction — so masked content equality
+        # identifies "P_j == P_i[:-1]" exactly.)
+        pos = jnp.arange(t_len)
+        content_eq = jnp.all(
+            (prefixes[:, None, :] == prefixes[None, :, :]) |
+            (pos[None, None, :] >= plens[None, :, None]), axis=-1)
+        m_ij = (plens[:, None] == plens[None, :] + 1) & content_eq  # [i, j]
+
+        # mass of ext(j, last_i): gather ext[j, last_i] -> [K_i, K_j]
+        ext_at_last = ext[:, jnp.maximum(last, 0)].T        # [i, j]
+        extra = jnp.where(m_ij & (last[:, None] >= 0), ext_at_last, NEG_INF)
+        new_pnb_stay = _lse(new_pnb_stay, _row_lse(extra))
+        stay_total = _lse(new_pb_stay, new_pnb_stay)
+
+        # kill the merged ext candidates so their mass isn't double-counted
+        kill = jnp.any(m_ij[:, :, None] &
+                       (class_ids[None, None, :] == last[:, None, None]),
+                       axis=0)                              # [j, C]
+        ext = jnp.where(kill, NEG_INF, ext)
+
+        # the merged map's entries are now pairwise distinct: prune to K
         all_scores = jnp.concatenate([stay_total, ext.reshape(-1)])
         _, top_idx = jax.lax.top_k(all_scores, k)
 
@@ -81,10 +132,9 @@ def _beam_single(logp, length, beam_width, blank):
         new_plens = plens[src]
         new_last = last[src]
         # append ext_char at position plens[src] for extend candidates
-        onehot_pos = (jnp.arange(t_len)[None, :] == new_plens[:, None])
-        appended = jnp.where(onehot_pos & ~is_stay[:, None],
-                             ext_char[:, None], new_prefixes)
-        new_prefixes = appended
+        onehot_pos = (pos[None, :] == new_plens[:, None])
+        new_prefixes = jnp.where(onehot_pos & ~is_stay[:, None],
+                                 ext_char[:, None], new_prefixes)
         new_plens = jnp.where(is_stay, new_plens, new_plens + 1)
         new_last = jnp.where(is_stay, new_last, ext_char)
         new_pb = jnp.where(is_stay, new_pb_stay[src], NEG_INF)
@@ -106,20 +156,39 @@ def _beam_single(logp, length, beam_width, blank):
 
     best = jnp.argmax(_lse(p_b, p_nb))
     out = prefixes[best]
+    pos_valid = jnp.arange(t_len) < plens[best]
+    if merge_repeated:
+        # tf.nn.ctc_beam_search_decoder(merge_repeated=True) parity: collapse
+        # adjacent repeated labels in the decoded sequence post hoc
+        # (reference network.py:656, test.py:30)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), out[:-1]])
+        keep = (out != prev) & pos_valid
+        tgt = jnp.where(keep, jnp.cumsum(keep) - 1, t_len)
+        return jnp.zeros((t_len,), jnp.int32).at[tgt].set(
+            jnp.where(keep, out, 0), mode='drop')
     # zero out beyond the prefix length (dense 0-padded contract)
-    return jnp.where(jnp.arange(t_len) < plens[best], out, 0)
+    return jnp.where(pos_valid, out, 0)
 
 
-@functools.partial(jax.jit, static_argnames=('beam_width', 'blank'))
-def beam_decode(logits, logit_lens, beam_width: int = 16, blank: int = 0):
+@functools.partial(jax.jit,
+                   static_argnames=('beam_width', 'blank', 'merge_repeated'))
+def beam_decode(logits, logit_lens, beam_width: int = 16, blank: int = 0,
+                merge_repeated: bool = False):
     """Batched CTC beam search.
 
     Args:
       logits:     [N, T, C] batch-major.
       logit_lens: [N] valid frame counts.
+      merge_repeated: collapse adjacent repeats in the decoded output, the
+        reference's ``ctc_beam_search_decoder(merge_repeated=True)`` mode
+        (network.py:656). Off by default: TF's own docs call this mode
+        "much less likely to be correct" (it deletes legitimate double
+        letters), but it is available for behavioural parity
+        (cfg.BEAM_MERGE_REPEATED).
     Returns:
       [N, T] int32 dense decoded ids (top beam), 0-padded.
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    fn = functools.partial(_beam_single, beam_width=beam_width, blank=blank)
+    fn = functools.partial(_beam_single, beam_width=beam_width, blank=blank,
+                           merge_repeated=merge_repeated)
     return jax.vmap(fn)(logp, logit_lens)

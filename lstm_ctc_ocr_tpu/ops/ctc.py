@@ -201,12 +201,37 @@ def select_ctc_loss():
     """The configured CTC loss implementation (cfg.CTC_IMPL): 'pallas' ->
     the TPU forward-backward kernel, anything else -> this module's
     lax.scan version. Single dispatch point for loss construction
-    (mirrors rnn.select_scan)."""
+    (mirrors rnn.select_scan).
+
+    'pallas' is a TPU fast path only (off-TPU it would interpret — slower
+    than the scan), and labels longer than the kernel's lane-axis capacity
+    dispatch to the scan implementation, which handles any length."""
+    import jax
     from ..config import cfg
-    if str(cfg.CTC_IMPL) == 'pallas':
+    if str(cfg.CTC_IMPL) == 'pallas' and jax.default_backend() == 'tpu':
         from . import ctc_pallas
-        return ctc_pallas.ctc_loss_pallas
+
+        def dispatch(logits, labels, label_lens, logit_lens):
+            s = 2 * labels.shape[1] + 1
+            if s > ctc_pallas.LANES:
+                _warn_long_labels_once(labels.shape[1])
+                return ctc_loss(logits, labels, label_lens, logit_lens)
+            return ctc_pallas.ctc_loss_pallas(
+                logits, labels, label_lens, logit_lens)
+        return dispatch
     return ctc_loss
+
+
+_warned_long_labels = False
+
+
+def _warn_long_labels_once(max_len: int) -> None:
+    global _warned_long_labels
+    if not _warned_long_labels:
+        _warned_long_labels = True
+        print('CTC_IMPL=pallas: MAX label length {} exceeds the kernel\'s '
+              'lane capacity (2L+1 > 128); using the lax.scan CTC for this '
+              'shape'.format(max_len))
 
 
 def ctc_loss(logits, labels, label_lens, logit_lens):

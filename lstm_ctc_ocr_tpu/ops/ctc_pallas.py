@@ -262,6 +262,14 @@ _ctc_on_logp_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def ctc_loss_pallas(logits, labels, label_lens, logit_lens):
-    """Per-example CTC loss via the Pallas TPU kernel (ops/ctc.py signature)."""
+    """Per-example CTC loss via the Pallas TPU kernel (ops/ctc.py signature).
+
+    Labels whose extended length 2L+1 exceeds the lane-axis budget fall back
+    to the lax.scan implementation (handles any length) instead of failing —
+    select_ctc_loss() also routes such shapes there with a one-time warning.
+    """
+    if 2 * labels.shape[1] + 1 > LANES:
+        from .ctc import ctc_loss as scan_ctc_loss
+        return scan_ctc_loss(logits, labels, label_lens, logit_lens)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return _ctc_on_logp_pallas(logp, labels, label_lens, logit_lens)

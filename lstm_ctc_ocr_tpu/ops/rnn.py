@@ -77,9 +77,14 @@ def lstm_scan(params, x_tm: jnp.ndarray, lens: jnp.ndarray,
 def select_scan():
     """The configured masked-LSTM scan implementation (cfg.LSTM_IMPL):
     'pallas' -> the fused VMEM-resident kernel, anything else -> lax.scan.
-    Single dispatch point for every LSTM layer variant."""
+    Single dispatch point for every LSTM layer variant.
+
+    'pallas' is a TPU fast path only: off-TPU it would run in the Pallas
+    *interpreter* (far slower than lax.scan), so CPU/GPU backends fall back
+    to the scan. The kernel tests exercise interpret mode directly."""
+    import jax
     from ..config import cfg
-    if str(cfg.LSTM_IMPL) == 'pallas':
+    if str(cfg.LSTM_IMPL) == 'pallas' and jax.default_backend() == 'tpu':
         from . import rnn_pallas
         return rnn_pallas.lstm_scan
     return lstm_scan

@@ -90,3 +90,39 @@ def test_codec_roundtrip():
     assert ''.join(dec[i] for i in ids) == s
     assert 0 not in ids
     assert max(enc.values()) == 62  # NCLASSES=64 quirk: ids only reach 62
+
+
+def test_resolve_font_bundled_and_fallbacks(tmp_path, monkeypatch):
+    """The repo ships fonts/DejaVuSerif.ttf; resolution must work without any
+    system font: configured path -> repo-local bundle -> system chain."""
+    import os.path as osp
+    from lstm_ctc_ocr_tpu.config import resolve_font
+
+    # 1. explicit existing path wins
+    f = tmp_path / 'x.ttf'
+    f.write_bytes(b'\0')
+    assert resolve_font(str(f)) == str(f)
+
+    # 2. missing configured path falls back to the bundled font (never the
+    #    system dir), so the suite passes with system DejaVu absent
+    got = resolve_font('/nonexistent/dir/NoSuch.ttf')
+    assert osp.isfile(got)
+    assert osp.join('fonts', '') .rstrip(osp.sep) in got or 'fonts' in got
+    assert got.startswith(cfg.ROOT_DIR)
+
+    # 3. default cfg.FONT resolves to the bundled file
+    got_default = resolve_font()
+    assert osp.isfile(got_default)
+    assert got_default.startswith(cfg.ROOT_DIR)
+
+
+def test_renderer_uses_resolved_font(monkeypatch):
+    """Synth rendering works when cfg.FONT points at a missing path."""
+    import random
+    from lstm_ctc_ocr_tpu.data import gen
+    monkeypatch.setitem(cfg, 'FONT', '/nonexistent/dir/NoSuch.ttf')
+    gen._renderer_cache.clear()
+    img, label = gen.generate_img(random.Random(0))
+    assert img.ndim == 2 and img.shape[0] > 0
+    assert len(label) >= cfg.MIN_LEN
+    gen._renderer_cache.clear()

@@ -82,3 +82,34 @@ def test_pallas_long_line():
     lp = np.asarray(ctc_loss_pallas(jnp.asarray(logits), *args))
     ref_loss, _ = ctc_loss_grad(logits, labels, label_lens, logit_lens)
     np.testing.assert_allclose(lp, ref_loss, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_over_lane_budget_falls_back_to_scan():
+    """Labels past the lane budget (2L+1 > 128) must not crash: both the
+    direct kernel wrapper and the cfg dispatch route to the scan CTC."""
+    import copy
+    from lstm_ctc_ocr_tpu.config import cfg
+    from lstm_ctc_ocr_tpu.ops.ctc import select_ctc_loss
+    rng = np.random.RandomState(9)
+    n, t, c, l = 2, 160, 20, 70            # S = 141 > 128 lanes
+    logits = rng.randn(n, t, c).astype(np.float32)
+    labels = np.zeros((n, l), np.int32)
+    label_lens = np.array([64, 70], np.int32)
+    for i in range(n):
+        labels[i, :label_lens[i]] = rng.randint(1, c, size=label_lens[i])
+    logit_lens = np.array([150, 160], np.int32)
+    args = (jnp.asarray(labels), jnp.asarray(label_lens),
+            jnp.asarray(logit_lens))
+    ref = np.asarray(ctc_loss(jnp.asarray(logits), *args))
+    via_kernel = np.asarray(ctc_loss_pallas(jnp.asarray(logits), *args))
+    np.testing.assert_allclose(via_kernel, ref, rtol=1e-6, atol=1e-6)
+    old = copy.deepcopy(dict(cfg))
+    try:
+        cfg.CTC_IMPL = 'pallas'
+        via_cfg = np.asarray(select_ctc_loss()(jnp.asarray(logits), *args))
+    finally:
+        cfg.clear()
+        for k, v in old.items():
+            cfg[k] = v
+    np.testing.assert_allclose(via_cfg, ref, rtol=1e-6, atol=1e-6)
+    assert np.isfinite(ref).all()
