@@ -113,3 +113,23 @@ def test_pallas_over_lane_budget_falls_back_to_scan():
             cfg[k] = v
     np.testing.assert_allclose(via_cfg, ref, rtol=1e-6, atol=1e-6)
     assert np.isfinite(ref).all()
+
+
+def test_pallas_bf16_logits_loss_and_grad_match_scan():
+    """bf16 logits (the shipped TRAIN.DTYPE) through both CTC impls: each
+    casts to f32 internally (log-space stability), so losses agree to f32
+    tolerances and the bf16 input-gradients to ~1 ulp of their scale."""
+    logits, labels, label_lens, logit_lens = _rand_case(13, n=6, t=18, c=12)
+    lb = jnp.asarray(logits).astype(jnp.bfloat16)
+    args = (jnp.asarray(labels), jnp.asarray(label_lens),
+            jnp.asarray(logit_lens))
+    lp = np.asarray(ctc_loss_pallas(lb, *args))
+    ls = np.asarray(ctc_loss(lb, *args))
+    np.testing.assert_allclose(lp, ls, rtol=1e-5, atol=1e-5)
+
+    gp = jax.grad(lambda x: jnp.sum(ctc_loss_pallas(x, *args)))(lb)
+    gs = jax.grad(lambda x: jnp.sum(ctc_loss(x, *args)))(lb)
+    assert gp.dtype == jnp.bfloat16 and gs.dtype == jnp.bfloat16
+    scale = float(np.max(np.abs(np.float32(gs)))) or 1.0
+    np.testing.assert_allclose(np.float32(gp), np.float32(gs),
+                               atol=3.0 * scale / 256.0, rtol=0)

@@ -62,17 +62,96 @@ def test_pallas_scan_gradients_match(seed):
 
 
 def test_bilstm_dispatch_pallas_matches_jax():
-    params_rng = jax.random.PRNGKey(0)
-    cells = rnn.bilstm_init(params_rng, input_dim=12, num_hids=16)
+    """LSTM_IMPL='pallas' is a TPU-only fast path: off-TPU the selector
+    falls back to lax.scan (not interpret-mode Pallas). The full bilstm
+    built on the forced kernel must still match the scan path."""
+    old = cfg.LSTM_IMPL
+    try:
+        cfg.LSTM_IMPL = 'pallas'
+        assert rnn.select_scan() is rnn.lstm_scan     # CPU backend here
+        cfg.LSTM_IMPL = 'jax'
+        assert rnn.select_scan() is rnn.lstm_scan
+    finally:
+        cfg.LSTM_IMPL = old
+
+    cells = rnn.bilstm_init(jax.random.PRNGKey(0), input_dim=12, num_hids=16)
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(4, 9, 12).astype(np.float32))   # [N, T, D]
     lens = jnp.asarray(np.array([9, 5, 1, 7], np.int32))
-    old = cfg.LSTM_IMPL
+    out_jax = np.asarray(rnn.bilstm(cells, x, lens))
+
+    import lstm_ctc_ocr_tpu.ops.rnn as rnn_mod
+    orig = rnn_mod.select_scan
+    rnn_mod.select_scan = lambda: rnn_pallas.lstm_scan   # force the kernel
     try:
-        cfg.LSTM_IMPL = 'jax'
-        out_jax = np.asarray(rnn.bilstm(cells, x, lens))
-        cfg.LSTM_IMPL = 'pallas'
         out_pal = np.asarray(rnn.bilstm(cells, x, lens))
     finally:
-        cfg.LSTM_IMPL = old
+        rnn_mod.select_scan = orig
     np.testing.assert_allclose(out_pal, out_jax, rtol=1e-5, atol=1e-5)
+
+
+# --- bf16: the SHIPPED training path (cfg.TRAIN.DTYPE='bfloat16') ------------
+
+def _bf16_ulp_atol(ref, n_ulp=4.0):
+    """bf16 has an 8-bit mantissa: 1 ulp ~= scale * 2^-8. Both
+    implementations accumulate in f32 but round to bf16 at different points
+    (custom_vjp casts grads to the param dtype), so results may differ by a
+    couple of ulps of each tensor's own scale."""
+    scale = float(np.max(np.abs(np.asarray(ref, np.float32)))) or 1.0
+    return n_ulp * scale / 256.0
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_pallas_scan_bf16_forward_matches(seed):
+    params, x, lens = _case(seed, t=23, n=8, d=16, h=8)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    xb = x.astype(jnp.bfloat16)
+    out_p = rnn_pallas.lstm_scan(pb, xb, lens)
+    out_s = rnn.lstm_scan(pb, xb, lens)
+    assert out_p.dtype == jnp.bfloat16 and out_s.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.float32(out_p), np.float32(out_s),
+                               atol=_bf16_ulp_atol(out_s), rtol=0)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_pallas_scan_bf16_gradients_match(seed):
+    """Directly pins the bf16 backward kernel (the shipped gradient path)
+    against lax.scan AD in bf16 — not just transitively via convergence."""
+    params, x, lens = _case(seed, t=23, n=8, d=16, h=8)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss_p(p, x):
+        return jnp.sum(jnp.tanh(rnn_pallas.lstm_scan(p, x, lens)
+                                .astype(jnp.float32)))
+
+    def loss_s(p, x):
+        return jnp.sum(jnp.tanh(rnn.lstm_scan(p, x, lens)
+                                .astype(jnp.float32)))
+
+    (gp, gpx) = jax.grad(loss_p, argnums=(0, 1))(pb, xb)
+    (gs, gsx) = jax.grad(loss_s, argnums=(0, 1))(pb, xb)
+    for a, b in [(gp['kernel'], gs['kernel']), (gp['bias'], gs['bias']),
+                 (gpx, gsx)]:
+        np.testing.assert_allclose(np.float32(a), np.float32(b),
+                                   atol=_bf16_ulp_atol(b), rtol=0)
+
+
+def test_bilstm_bf16_pallas_matches_jax():
+    """Full BiLSTM layer in bf16: Pallas kernels vs the lax.scan path."""
+    cells = rnn.bilstm_init(jax.random.PRNGKey(0), input_dim=12, num_hids=16)
+    cells = jax.tree.map(lambda p: p.astype(jnp.bfloat16), cells)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 9, 12).astype(np.float32)).astype(jnp.bfloat16)
+    lens = jnp.asarray(np.array([9, 5, 1, 7], np.int32))
+    out_jax = rnn.bilstm(cells, x, lens)
+
+    import lstm_ctc_ocr_tpu.ops.rnn as rnn_mod
+    orig = rnn_mod.select_scan
+    rnn_mod.select_scan = lambda: rnn_pallas.lstm_scan   # force the kernel
+    try:
+        out_pal = rnn.bilstm(cells, x, lens)
+    finally:
+        rnn_mod.select_scan = orig
+    np.testing.assert_allclose(np.float32(out_pal), np.float32(out_jax),
+                               atol=_bf16_ulp_atol(out_jax), rtol=0)
