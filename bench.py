@@ -26,6 +26,31 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_FILE = os.path.join(REPO, 'bench_baseline.json')
 
+N_WINDOWS = 9          # timing windows; the median is reported
+
+# Peak dense bf16 matmul throughput per chip, FLOP/s (published specs:
+# v5e 197 TF, v4 275 TF, v5p 459 TF, v6e/Trillium 918 TF). Used for the
+# MFU denominator; unknown kinds report mfu=null rather than guessing.
+PEAK_BF16_FLOPS = {
+    'TPU v4': 275e12,
+    'TPU v5 lite': 197e12,
+    'TPU v5e': 197e12,
+    'TPU v5': 459e12,
+    'TPU v5p': 459e12,
+    'TPU v6 lite': 918e12,
+    'TPU v6e': 918e12,
+}
+
+
+def peak_flops_for(device_kind):
+    # longest-prefix match so 'TPU v5 lite' prefers its own row over 'TPU v5'
+    best = None
+    for kind, peak in PEAK_BF16_FLOPS.items():
+        if device_kind.startswith(kind):
+            if best is None or len(kind) > len(best[0]):
+                best = (kind, peak)
+    return best[1] if best else None
+
 
 def build_batches(batch, width, n_batches=4, seed=0):
     import random
@@ -68,6 +93,18 @@ def bench_tpu_train(steps=30, batch=64, width=96):
                          (b.image, b.label, b.label_len, b.time_step))
                    for b in host_batches]
 
+    # XLA's own FLOP count for the whole compiled train step (fwd + CTC +
+    # bwd + Adam) — the MFU numerator, auditable via cost_analysis()
+    flops_per_step = None
+    try:
+        cost = step.lower(params, opt_state, *dev_batches[0], 0) \
+                   .compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost['flops'])
+    except Exception as e:
+        print('cost_analysis unavailable: {}'.format(e), file=sys.stderr)
+
     # warmup: compile, then enough steady steps for the tunnel's dispatch
     # path to reach steady state (throughput ramps over the first few
     # hundred dispatches in a fresh process)
@@ -76,21 +113,29 @@ def bench_tpu_train(steps=30, batch=64, width=96):
         params, opt_state, total, ctc = step(
             params, opt_state, *dev_batches[it % len(dev_batches)], it)
         it += 1
-    jax.block_until_ready(total)
+    float(total)
 
     # The TPU tunnel adds bursty dispatch latency; a single window swings
     # +-30%. Take the median of several windows for a stable number.
+    # Each window ends with float(total) — an actual device->host readback
+    # of the last step's loss. block_until_ready alone is NOT trusted here:
+    # over the axon tunnel it can return at enqueue time, which silently
+    # turns the benchmark into a Python-dispatch-rate measurement (the
+    # round-1 numbers of 145-220k img/s were exactly that — they imply
+    # 0.44 ms/step, >4x the chip's bf16 peak at the step's XLA-counted
+    # FLOPs, i.e. physically impossible). The loss readback forces the
+    # whole dependent step chain to have executed.
     rates = []
-    for _ in range(9):
+    for _ in range(N_WINDOWS):
         t0 = time.perf_counter()
         for _ in range(steps):
             params, opt_state, total, ctc = step(
                 params, opt_state, *dev_batches[it % len(dev_batches)], it)
             it += 1
-        jax.block_until_ready(total)
+        float(total)
         rates.append(steps * batch / (time.perf_counter() - t0))
     rates.sort()
-    return rates[len(rates) // 2]
+    return rates[len(rates) // 2], flops_per_step, jax.devices()[0].device_kind
 
 
 def bench_tf_cpu_baseline(steps=4, batch=64, width=96):
@@ -167,22 +212,33 @@ def get_baseline(batch, width, refresh=False):
 if __name__ == '__main__':
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=100,
-                    help='train steps per timing window (5 windows, median)')
+                    help='train steps per timing window '
+                         '({} windows, median)'.format(N_WINDOWS))
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--width', type=int, default=96)
     ap.add_argument('--refresh-baseline', action='store_true')
     args = ap.parse_args()
 
-    ips = bench_tpu_train(steps=args.steps, batch=args.batch, width=args.width)
+    ips, flops_per_step, device_kind = bench_tpu_train(
+        steps=args.steps, batch=args.batch, width=args.width)
     try:
         base = get_baseline(args.batch, args.width, refresh=args.refresh_baseline)
     except Exception as e:
         print('baseline measurement failed ({}); using cached or 1.0'.format(e),
               file=sys.stderr)
         base = 1.0
-    print(json.dumps({
+
+    result = {
         'metric': 'captcha images/sec/chip (train)',
         'value': round(ips, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(ips / base, 2),
-    }))
+        'device_kind': device_kind,
+    }
+    if flops_per_step is not None:
+        achieved = ips / args.batch * flops_per_step     # FLOP/s sustained
+        result['flops_per_step'] = flops_per_step
+        result['tflops_achieved'] = round(achieved / 1e12, 2)
+        peak = peak_flops_for(device_kind)
+        result['mfu'] = round(achieved / peak, 4) if peak else None
+    print(json.dumps(result))

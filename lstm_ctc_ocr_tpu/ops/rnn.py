@@ -102,6 +102,34 @@ def reverse_sequence(x_tm: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
         x_tm, src.reshape(src.shape + (1,) * (x_tm.ndim - 2)), axis=0)
 
 
+def bilstm_scan_pair(params, x: jnp.ndarray, lens: jnp.ndarray,
+                     forget_bias: float = 1.0) -> jnp.ndarray:
+    """BiLSTM as two directional scans + reverse_sequence gathers (the
+    portable formulation; conformance reference for the fused kernel)."""
+    scan = select_scan()
+    x_tm = jnp.swapaxes(x, 0, 1)
+    out_fw = scan(params['fw'], x_tm, lens, forget_bias)
+    x_rev = reverse_sequence(x_tm, lens)
+    out_bw_rev = scan(params['bw'], x_rev, lens, forget_bias)
+    out_bw = reverse_sequence(out_bw_rev, lens)
+    out = jnp.concatenate([out_fw, out_bw], axis=-1)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def select_bilstm():
+    """The configured BiLSTM implementation. On TPU with
+    ``cfg.LSTM_IMPL='pallas'``: the fully fused single-kernel BiLSTM
+    (rnn_pallas.bilstm — one sequential grid covers both directions and
+    the per-example reversal, no gathers). Otherwise: two masked scans
+    + reverse_sequence."""
+    import jax
+    from ..config import cfg
+    if str(cfg.LSTM_IMPL) == 'pallas' and jax.default_backend() == 'tpu':
+        from . import rnn_pallas
+        return rnn_pallas.bilstm
+    return bilstm_scan_pair
+
+
 def bilstm(params, x: jnp.ndarray, lens: jnp.ndarray,
            forget_bias: float = 1.0) -> jnp.ndarray:
     """Bidirectional masked LSTM.
@@ -114,14 +142,7 @@ def bilstm(params, x: jnp.ndarray, lens: jnp.ndarray,
       [N, T, 2H] concat(fw, bw) outputs, zero past ``lens``
       (tf.nn.bidirectional_dynamic_rnn contract, network.py:107-109).
     """
-    scan = select_scan()
-    x_tm = jnp.swapaxes(x, 0, 1)
-    out_fw = scan(params['fw'], x_tm, lens, forget_bias)
-    x_rev = reverse_sequence(x_tm, lens)
-    out_bw_rev = scan(params['bw'], x_rev, lens, forget_bias)
-    out_bw = reverse_sequence(out_bw_rev, lens)
-    out = jnp.concatenate([out_fw, out_bw], axis=-1)
-    return jnp.swapaxes(out, 0, 1)
+    return select_bilstm()(params, x, lens, forget_bias)
 
 
 def bilstm_init(rng: jax.Array, input_dim: int, num_hids: int,

@@ -306,3 +306,350 @@ def lstm_scan(params, x_tm: jnp.ndarray, lens: jnp.ndarray,
         x_proj = jnp.pad(x_proj, ((0, t_pad - t_len), (0, 0), (0, 0)))
     out = _scan_core(x_proj, u, params['bias'], lens, float(forget_bias))
     return out[:t_len]
+
+
+# =============================================================================
+# Fused BiLSTM: both directions in ONE sequential grid, no reversal gathers
+# =============================================================================
+#
+# The two-launch formulation (rnn.bilstm) runs fw scan, reverse_sequence,
+# bw scan, reverse_sequence — four device ops, two of them [T, N, D]-sized
+# gathers. The fusion rests on an identity: a masked scan over the
+# *length-reversed* sequence is equivalent to a masked scan over physical
+# time DESCENDING in which frames with ``t >= len`` leave the state
+# untouched (the state simply hasn't started yet when t >= len, and from
+# t = len-1 downward it sees exactly the frames len-1, len-2, ..., t — the
+# same order the reversed scan sees). So one kernel walks the grid once:
+# grid step b processes forward-direction block b (time ascending) and
+# backward-direction block n_blk-1-b (time descending), with both
+# directions' recurrent weights resident in VMEM. The reversal gathers
+# vanish entirely, the two input projections fuse into a single
+# [T*N, D] @ [D, 8H] MXU matmul outside, and the recurrence costs one
+# kernel launch and one pass over the time grid instead of two of each.
+# The backward pass mirrors this: fw grads walk time descending while bw
+# grads walk time ascending in the same reverse grid.
+
+
+def _bi_cell(x_row, h, c, u, bias, lens, t, forget_bias, h_dim):
+    """One masked LSTM step (shared by both directions). f32 gate math."""
+    gates = x_row.astype(jnp.float32) + _dot(h.astype(u.dtype), u) + bias
+    i = jax.nn.sigmoid(gates[:, :h_dim])
+    j = jnp.tanh(gates[:, h_dim:2 * h_dim])
+    f = jax.nn.sigmoid(gates[:, 2 * h_dim:3 * h_dim] + forget_bias)
+    o = jax.nn.sigmoid(gates[:, 3 * h_dim:])
+    c_new = f * c + i * j
+    h_new = o * jnp.tanh(c_new)
+    live = (lens > t).astype(jnp.float32)            # [N, 1]
+    h2 = live * h_new + (1.0 - live) * h
+    c2 = live * c_new + (1.0 - live) * c
+    return h2, c2, live * h_new, jnp.concatenate([i, j, f, o], axis=1)
+
+
+def _bi_fwd_kernel(forget_bias, xf_ref, xb_ref, uf_ref, ub_ref,
+                   bf_ref, bb_ref, lens_ref,
+                   of_ref, gf_ref, hf_ref, cf_ref,
+                   ob_ref, gb_ref, hb_ref, cb_ref,
+                   hf_scr, cf_scr, hb_scr, cb_scr):
+    blk = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+
+    @pl.when(blk == 0)
+    def _():
+        for s in (hf_scr, cf_scr, hb_scr, cb_scr):
+            s[:] = jnp.zeros_like(s)
+
+    lens = lens_ref[:]
+    h_dim = hf_scr.shape[1]
+
+    h, c = hf_scr[:], cf_scr[:]
+    uf = uf_ref[:]
+    bf = bf_ref[:].astype(jnp.float32)
+    for k in range(T_BLK):                   # fw: physical time ascending
+        t = blk * T_BLK + k
+        h, c, out_row, g_row = _bi_cell(xf_ref[k], h, c, uf, bf, lens, t,
+                                        forget_bias, h_dim)
+        of_ref[k] = out_row.astype(of_ref.dtype)
+        gf_ref[k] = g_row.astype(gf_ref.dtype)
+        hf_ref[k] = h.astype(hf_ref.dtype)
+        cf_ref[k] = c.astype(cf_ref.dtype)
+    hf_scr[:] = h
+    cf_scr[:] = c
+
+    h, c = hb_scr[:], cb_scr[:]
+    ub = ub_ref[:]
+    bb = bb_ref[:].astype(jnp.float32)
+    for k in reversed(range(T_BLK)):         # bw: physical time descending
+        t = (n_blk - 1 - blk) * T_BLK + k
+        h, c, out_row, g_row = _bi_cell(xb_ref[k], h, c, ub, bb, lens, t,
+                                        forget_bias, h_dim)
+        ob_ref[k] = out_row.astype(ob_ref.dtype)
+        gb_ref[k] = g_row.astype(gb_ref.dtype)
+        hb_ref[k] = h.astype(hb_ref.dtype)
+        cb_ref[k] = c.astype(cb_ref.dtype)
+    hb_scr[:] = h
+    cb_scr[:] = c
+
+
+def _bi_fwd_call(xpf, xpb, uf, ub, bf, bb, lens, forget_bias):
+    t_pad, n, four_h = xpf.shape
+    h_dim = four_h // 4
+    n_blk = t_pad // T_BLK
+    lens2 = lens.astype(jnp.int32).reshape(n, 1)
+    rdt = xpf.dtype
+    asc = lambda b: (b, 0, 0)
+    desc = lambda b: (n_blk - 1 - b, 0, 0)
+    const2 = lambda b: (0, 0)
+    time_blk = lambda ch: pl.BlockSpec((T_BLK, n, ch), asc,
+                                       memory_space=pltpu.VMEM)
+    time_blk_r = lambda ch: pl.BlockSpec((T_BLK, n, ch), desc,
+                                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bi_fwd_kernel, float(forget_bias)),
+        grid=(n_blk,),
+        in_specs=[
+            time_blk(four_h), time_blk_r(four_h),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            time_blk(h_dim), time_blk(four_h), time_blk(h_dim), time_blk(h_dim),
+            time_blk_r(h_dim), time_blk_r(four_h), time_blk_r(h_dim),
+            time_blk_r(h_dim),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, four_h), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, four_h), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+            jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, h_dim), jnp.float32)] * 4,
+        interpret=_interpret(),
+    )(xpf, xpb, uf, ub, bf.reshape(1, four_h), bb.reshape(1, four_h), lens2)
+
+
+def _bi_bwd_step(dout_row, g_row, h_prev, c_prev, dh, dc, u, lens, t,
+                 forget_bias, h_dim):
+    """Backward of one masked step; returns (dg, dh_prev, dc_prev,
+    du_increment, db_increment)."""
+    g = g_row.astype(jnp.float32)
+    i = g[:, :h_dim]
+    j = g[:, h_dim:2 * h_dim]
+    f = g[:, 2 * h_dim:3 * h_dim]
+    o = g[:, 3 * h_dim:]
+    c_new = f * c_prev + i * j
+    tanh_c = jnp.tanh(c_new)
+
+    live = (lens > t).astype(jnp.float32)
+    g_hnew = live * (dh + dout_row.astype(jnp.float32))
+    g_cnew = live * dc
+
+    do_ = g_hnew * tanh_c
+    dc_tot = g_cnew + g_hnew * o * (1.0 - tanh_c * tanh_c)
+    di = dc_tot * j
+    dj = dc_tot * i
+    df = dc_tot * c_prev
+    dg = jnp.concatenate([di * i * (1.0 - i), dj * (1.0 - j * j),
+                          df * f * (1.0 - f), do_ * o * (1.0 - o)], axis=1)
+    dg_c = dg.astype(u.dtype)
+    dh_prev = _dot(dg_c, u, trans_b=True) + (1.0 - live) * dh
+    dc_prev = dc_tot * f + (1.0 - live) * dc
+    du_inc = _dot(h_prev.astype(u.dtype), dg_c, trans_a=True)
+    db_inc = jnp.sum(dg, axis=0, keepdims=True)
+    return dg, dh_prev, dc_prev, du_inc, db_inc
+
+
+def _bi_bwd_kernel(forget_bias,
+                   dof_ref, gf_ref, hfc_ref, hfp_ref, cfc_ref, cfp_ref,
+                   dob_ref, gb_ref, hbc_ref, hbn_ref, cbc_ref, cbn_ref,
+                   uf_ref, ub_ref, lens_ref,
+                   dxf_ref, dxb_ref, duf_ref, dbf_ref, dub_ref, dbb_ref,
+                   dhf_scr, dcf_scr, dhb_scr, dcb_scr,
+                   duf_scr, dbf_scr, dub_scr, dbb_scr):
+    rev = pl.program_id(0)
+    n_blk = pl.num_programs(0)
+    t_pad = n_blk * T_BLK
+
+    @pl.when(rev == 0)
+    def _():
+        for s in (dhf_scr, dcf_scr, dhb_scr, dcb_scr,
+                  duf_scr, dbf_scr, dub_scr, dbb_scr):
+            s[:] = jnp.zeros_like(s)
+
+    lens = lens_ref[:]
+    h_dim = dhf_scr.shape[1]
+
+    # fw direction: reverse scan order = physical time descending
+    t_base = (n_blk - 1 - rev) * T_BLK
+    uf = uf_ref[:]
+    dh, dc = dhf_scr[:], dcf_scr[:]
+    du_acc = jnp.zeros_like(duf_scr)
+    db_acc = jnp.zeros_like(dbf_scr)
+    for k in reversed(range(T_BLK)):
+        t = t_base + k
+        if k > 0:
+            h_prev_raw, c_prev_raw = hfc_ref[k - 1], cfc_ref[k - 1]
+        else:                                    # crosses the block boundary
+            h_prev_raw, c_prev_raw = hfp_ref[T_BLK - 1], cfp_ref[T_BLK - 1]
+        first = (t == 0).astype(jnp.float32)     # zero state before t=0
+        h_prev = (1.0 - first) * h_prev_raw.astype(jnp.float32)
+        c_prev = (1.0 - first) * c_prev_raw.astype(jnp.float32)
+        dg, dh, dc, du_inc, db_inc = _bi_bwd_step(
+            dof_ref[k], gf_ref[k], h_prev, c_prev, dh, dc, uf, lens, t,
+            forget_bias, h_dim)
+        dxf_ref[k] = dg.astype(dxf_ref.dtype)
+        du_acc = du_acc + du_inc
+        db_acc = db_acc + db_inc
+    dhf_scr[:] = dh
+    dcf_scr[:] = dc
+    duf_scr[:] = duf_scr[:] + du_acc
+    dbf_scr[:] = dbf_scr[:] + db_acc
+
+    # bw direction: reverse scan order = physical time ASCENDING
+    t_base = rev * T_BLK
+    ub = ub_ref[:]
+    dh, dc = dhb_scr[:], dcb_scr[:]
+    du_acc = jnp.zeros_like(dub_scr)
+    db_acc = jnp.zeros_like(dbb_scr)
+    for k in range(T_BLK):
+        t = t_base + k
+        if k < T_BLK - 1:
+            h_prev_raw, c_prev_raw = hbc_ref[k + 1], cbc_ref[k + 1]
+        else:                                    # crosses the block boundary
+            h_prev_raw, c_prev_raw = hbn_ref[0], cbn_ref[0]
+        first = (t == t_pad - 1).astype(jnp.float32)   # bw starts at the end
+        h_prev = (1.0 - first) * h_prev_raw.astype(jnp.float32)
+        c_prev = (1.0 - first) * c_prev_raw.astype(jnp.float32)
+        dg, dh, dc, du_inc, db_inc = _bi_bwd_step(
+            dob_ref[k], gb_ref[k], h_prev, c_prev, dh, dc, ub, lens, t,
+            forget_bias, h_dim)
+        dxb_ref[k] = dg.astype(dxb_ref.dtype)
+        du_acc = du_acc + du_inc
+        db_acc = db_acc + db_inc
+    dhb_scr[:] = dh
+    dcb_scr[:] = dc
+    dub_scr[:] = dub_scr[:] + du_acc
+    dbb_scr[:] = dbb_scr[:] + db_acc
+
+    @pl.when(rev == n_blk - 1)
+    def _():
+        duf_ref[:] = duf_scr[:]
+        dbf_ref[:] = dbf_scr[:]
+        dub_ref[:] = dub_scr[:]
+        dbb_ref[:] = dbb_scr[:]
+
+
+def _bi_bwd_call(dof, dob, gf, hf, cf, gb, hb, cb, uf, ub, lens, forget_bias):
+    t_pad, n, four_h = gf.shape
+    h_dim = four_h // 4
+    n_blk = t_pad // T_BLK
+    lens2 = lens.astype(jnp.int32).reshape(n, 1)
+    rev_row = lambda r: (n_blk - 1 - r, 0, 0)
+    prev_row = lambda r: (jnp.maximum(n_blk - 2 - r, 0), 0, 0)
+    asc_row = lambda r: (r, 0, 0)
+    next_row = lambda r: (jnp.minimum(r + 1, n_blk - 1), 0, 0)
+    const2 = lambda r: (0, 0)
+    blk = lambda ch, m: pl.BlockSpec((T_BLK, n, ch), m,
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bi_bwd_kernel, float(forget_bias)),
+        grid=(n_blk,),
+        in_specs=[
+            blk(h_dim, rev_row), blk(four_h, rev_row),
+            blk(h_dim, rev_row), blk(h_dim, prev_row),
+            blk(h_dim, rev_row), blk(h_dim, prev_row),
+            blk(h_dim, asc_row), blk(four_h, asc_row),
+            blk(h_dim, asc_row), blk(h_dim, next_row),
+            blk(h_dim, asc_row), blk(h_dim, next_row),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            blk(four_h, rev_row), blk(four_h, asc_row),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, n, four_h), dof.dtype),
+            jax.ShapeDtypeStruct((t_pad, n, four_h), dof.dtype),
+            jax.ShapeDtypeStruct((h_dim, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((1, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((h_dim, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((1, four_h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((h_dim, four_h), jnp.float32),
+            pltpu.VMEM((1, four_h), jnp.float32),
+            pltpu.VMEM((h_dim, four_h), jnp.float32),
+            pltpu.VMEM((1, four_h), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dof, gf, hf, hf, cf, cf, dob, gb, hb, hb, cb, cb, uf, ub, lens2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _bi_core(xpf, xpb, uf, ub, bf, bb, lens, forget_bias):
+    of, _, _, _, ob, _, _, _ = _bi_fwd_call(xpf, xpb, uf, ub, bf, bb, lens,
+                                            forget_bias)
+    return of, ob
+
+
+def _bi_core_fwd(xpf, xpb, uf, ub, bf, bb, lens, forget_bias):
+    of, gf, hf, cf, ob, gb, hb, cb = _bi_fwd_call(xpf, xpb, uf, ub, bf, bb,
+                                                  lens, forget_bias)
+    return (of, ob), (gf, hf, cf, gb, hb, cb, uf, ub, lens)
+
+
+def _bi_core_bwd(forget_bias, res, cots):
+    gf, hf, cf, gb, hb, cb, uf, ub, lens = res
+    dof, dob = cots
+    dxf, dxb, duf, dbf, dub, dbb = _bi_bwd_call(
+        dof.astype(gf.dtype), dob.astype(gb.dtype),
+        gf, hf, cf, gb, hb, cb, uf, ub, lens, forget_bias)
+    dlens = np.zeros(lens.shape, jax.dtypes.float0)
+    return (dxf.astype(gf.dtype), dxb.astype(gb.dtype),
+            duf.astype(uf.dtype), dub.astype(ub.dtype),
+            dbf.reshape(-1).astype(uf.dtype), dbb.reshape(-1).astype(ub.dtype),
+            dlens)
+
+
+_bi_core.defvjp(_bi_core_fwd, _bi_core_bwd)
+
+
+def bilstm(params, x: jnp.ndarray, lens: jnp.ndarray,
+           forget_bias: float = 1.0) -> jnp.ndarray:
+    """Fused bidirectional masked LSTM — drop-in for ``rnn.bilstm``.
+
+    Same contract ([N, T, D] -> [N, T, 2H], fw/bw concat, outputs zero past
+    ``lens``), but both directions run in ONE Pallas kernel over a single
+    sequential time grid, the per-example reversal is absorbed into the
+    masked descending scan (no reverse_sequence gathers), and the two input
+    projections fuse into one [T*N, D] @ [D, 8H] MXU matmul.
+    """
+    x_tm = jnp.swapaxes(x, 0, 1)
+    t_len, n, d = x_tm.shape
+    kf, kb = params['fw']['kernel'], params['bw']['kernel']
+    four_h = kf.shape[1]
+    w = jnp.concatenate([kf[:d], kb[:d]], axis=1)       # [D, 8H], one matmul
+    xp = (x_tm.reshape(t_len * n, d) @ w).reshape(t_len, n, 2 * four_h)
+    t_pad = -(-t_len // T_BLK) * T_BLK
+    if t_pad != t_len:
+        xp = jnp.pad(xp, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    of, ob = _bi_core(xp[:, :, :four_h], xp[:, :, four_h:],
+                      kf[d:], kb[d:], params['fw']['bias'],
+                      params['bw']['bias'], lens, float(forget_bias))
+    out = jnp.concatenate([of[:t_len], ob[:t_len]], axis=-1)
+    return jnp.swapaxes(out, 0, 1)

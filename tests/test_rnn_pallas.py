@@ -155,3 +155,70 @@ def test_bilstm_bf16_pallas_matches_jax():
         rnn_mod.select_scan = orig
     np.testing.assert_allclose(np.float32(out_pal), np.float32(out_jax),
                                atol=_bf16_ulp_atol(out_jax), rtol=0)
+
+
+# --- fused BiLSTM (single-kernel fw+bw, VERDICT r1 item 5) -------------------
+
+@pytest.mark.parametrize('seed,t', [(0, 19), (1, 8), (2, 24)])
+def test_fused_bilstm_forward_matches_scan_pair(seed, t):
+    """rnn_pallas.bilstm (one kernel, reversal absorbed into the masked
+    descending scan) vs the two-scan + reverse_sequence formulation."""
+    cells = rnn.bilstm_init(jax.random.PRNGKey(seed), input_dim=12,
+                            num_hids=16)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(4, t, 12).astype(np.float32))
+    lens = jnp.asarray(rng.randint(1, t + 1, size=(4,)).astype(np.int32))
+    ref = np.asarray(rnn.bilstm_scan_pair(cells, x, lens))
+    fused = np.asarray(rnn_pallas.bilstm(cells, x, lens))
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bilstm_gradients_match_scan_pair():
+    cells = rnn.bilstm_init(jax.random.PRNGKey(3), input_dim=12, num_hids=16)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 19, 12).astype(np.float32))
+    lens = jnp.asarray(np.array([19, 5, 1, 12], np.int32))
+
+    def loss(bilstm_fn):
+        return lambda p, x: jnp.sum(jnp.tanh(bilstm_fn(p, x, lens)))
+
+    gr, grx = jax.grad(loss(rnn.bilstm_scan_pair), argnums=(0, 1))(cells, x)
+    gf, gfx = jax.grad(loss(rnn_pallas.bilstm), argnums=(0, 1))(cells, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5), gr, gf)
+    np.testing.assert_allclose(np.asarray(gfx), np.asarray(grx),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bilstm_bf16_matches_scan_pair():
+    """The shipped bf16 path through the fused kernel, ulp tolerances."""
+    cells = rnn.bilstm_init(jax.random.PRNGKey(0), input_dim=12, num_hids=16)
+    cells = jax.tree.map(lambda p: p.astype(jnp.bfloat16), cells)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 9, 12).astype(np.float32)).astype(jnp.bfloat16)
+    lens = jnp.asarray(np.array([9, 5, 1, 7], np.int32))
+    ref = rnn.bilstm_scan_pair(cells, x, lens)
+    fused = rnn_pallas.bilstm(cells, x, lens)
+    np.testing.assert_allclose(np.float32(fused), np.float32(ref),
+                               atol=_bf16_ulp_atol(ref), rtol=0)
+
+    def loss(fn):
+        return lambda p: jnp.sum(jnp.tanh(fn(p, x, lens).astype(jnp.float32)))
+
+    gr = jax.grad(loss(rnn.bilstm_scan_pair))(cells)
+    gf = jax.grad(loss(rnn_pallas.bilstm))(cells)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.float32(a), np.float32(b), atol=_bf16_ulp_atol(b), rtol=0), gf, gr)
+
+
+def test_select_bilstm_dispatch():
+    """'pallas' is TPU-only for the fused BiLSTM too; CPU falls back to the
+    scan pair."""
+    old = cfg.LSTM_IMPL
+    try:
+        cfg.LSTM_IMPL = 'pallas'
+        assert rnn.select_bilstm() is rnn.bilstm_scan_pair   # CPU backend
+        cfg.LSTM_IMPL = 'jax'
+        assert rnn.select_bilstm() is rnn.bilstm_scan_pair
+    finally:
+        cfg.LSTM_IMPL = old
