@@ -25,9 +25,11 @@ Documented deviations from TF's C++ decoder:
 * TF merges duplicates in its scoring map *before* beam pruning; we merge
   after pruning to 2K candidates, which can differ when more than 2K
   candidates matter — vanishingly rare at OCR posteriors;
-* ``merge_repeated=True``-style post-collapse is NOT applied (TF's own
-  docs call that mode "much less likely to be correct"); repeats are
-  handled correctly by the CTC transition rules instead.
+* ``merge_repeated=True``-style post-collapse is off by default (TF's
+  own docs call that mode "much less likely to be correct"; repeats are
+  handled correctly by the CTC transition rules) but available for
+  behavioural parity via ``cfg.BEAM_MERGE_REPEATED`` /
+  ``beam_decode(..., merge_repeated=True)``.
 """
 
 from __future__ import annotations
