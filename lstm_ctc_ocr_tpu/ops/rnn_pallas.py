@@ -13,6 +13,12 @@ Layout / performance shape:
   per-step recurrent matmul is ~0.2 us of MXU work); blocking amortises
   that overhead 8x while keeping the streamed VMEM working set small.
   Within a block the time loop is fully unrolled;
+* the grid's leading dimension tiles the **batch** into chunks of at most
+  64 rows (bf16; 32 in f32) so the kernel's VMEM frame is constant in
+  batch size — streamed [T_BLK, chunk, 4H] blocks would otherwise scale
+  linearly with N and blow the 16 MB scoped-vmem limit past batch 64.
+  Chunks run sequentially; the h/c scratch carry resets at each chunk's
+  first time block, and the dU/db accumulators run across the whole grid;
 * the recurrent weights ``U [H, 4H]`` map to the same VMEM block every
   grid step — fetched from HBM once, resident for the whole scan; the
   hidden/cell state carry lives in f32 VMEM scratch (scratch persists
@@ -47,6 +53,32 @@ def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
+# The Mosaic default scoped-vmem limit (16 MB) is sized for small kernels;
+# the blocked scans stream a dozen [T_BLK, nb, 4H] buffers double-buffered
+# and need ~21 MB at the largest chunk. v5e VMEM is 128 MB — allow 64 MB
+# so the scheduler has room, while batch chunking keeps the actual frame
+# bounded regardless of batch size.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+def _chunk_rows(dtype) -> int:
+    """Batch rows per grid chunk, sized so the worst kernel frame (the
+    BiLSTM backward: 12 streamed [T_BLK, nb, <=4H] blocks + dx outputs +
+    f32 accumulators) stays under the 16 MB scoped-vmem limit."""
+    return 64 if jnp.dtype(dtype).itemsize <= 2 else 32
+
+
+def _pad_batch(nb: int, x_proj, lens):
+    """Pad the batch axis of [T, N, .] ``x_proj`` (and [N] ``lens``, with
+    zeros — padded examples are never live) to a multiple of ``nb``."""
+    n = x_proj.shape[1]
+    n_pad = -(-n // nb) * nb
+    if n_pad != n:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, n_pad - n), (0, 0)))
+        lens = jnp.pad(lens, (0, n_pad - n))
+    return x_proj, lens
+
+
 def _dot(a, b, trans_a=False, trans_b=False):
     dims = ((((0,) if trans_a else (1,)), ((1,) if trans_b else (0,))),
             ((), ()))
@@ -58,7 +90,7 @@ def _dot(a, b, trans_a=False, trans_b=False):
 
 def _fwd_kernel(forget_bias, x_ref, u_ref, b_ref, lens_ref,
                 out_ref, gates_ref, hstate_ref, cstate_ref, h_scr, c_scr):
-    blk = pl.program_id(0)
+    blk = pl.program_id(1)                   # time block within this chunk
 
     @pl.when(blk == 0)
     def _():
@@ -102,25 +134,28 @@ def _fwd_call(x_proj, u, bias, lens, forget_bias):
     t_pad, n, four_h = x_proj.shape
     h_dim = four_h // 4
     n_blk = t_pad // T_BLK
+    nb = min(_chunk_rows(x_proj.dtype), n)
+    n_chunks = n // nb
     lens2 = lens.astype(jnp.int32).reshape(n, 1)
     bias2 = bias.reshape(1, four_h)
     rdt = x_proj.dtype                   # residual dtype
-    row = lambda i: (i, 0, 0)
-    const2 = lambda i: (0, 0)
+    row = lambda ci, b: (b, ci, 0)
+    const2 = lambda ci, b: (0, 0)
+    lens_row = lambda ci, b: (ci, 0)
     out, gates, hstate, cstate = pl.pallas_call(
         functools.partial(_fwd_kernel, float(forget_bias)),
-        grid=(n_blk,),
+        grid=(n_chunks, n_blk),
         in_specs=[
-            pl.BlockSpec((T_BLK, n, four_h), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, four_h), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lens_row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T_BLK, n, h_dim), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, four_h), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, h_dim), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, h_dim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, four_h), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), row, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
@@ -129,10 +164,11 @@ def _fwd_call(x_proj, u, bias, lens, forget_bias):
             jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, h_dim), jnp.float32),
-            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(x_proj, u, bias2, lens2)
     return out, gates, hstate, cstate
 
@@ -142,14 +178,18 @@ def _fwd_call(x_proj, u, bias, lens, forget_bias):
 def _bwd_kernel(dout_ref, gates_ref, hs_cur_ref, hs_prev_ref,
                 cs_cur_ref, cs_prev_ref, u_ref, lens_ref,
                 dx_ref, du_ref, db_ref, dh_scr, dc_scr, du_scr, db_scr):
-    rev = pl.program_id(0)
-    n_blk = pl.num_programs(0)
+    ci = pl.program_id(0)                    # batch chunk
+    rev = pl.program_id(1)                   # reversed time block
+    n_blk = pl.num_programs(1)
     t_base = (n_blk - 1 - rev) * T_BLK
 
     @pl.when(rev == 0)
-    def _():
+    def _():                                 # fresh carry for each chunk
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when(jnp.logical_and(ci == 0, rev == 0))
+    def _():                                 # dU/db accumulate grid-wide
         du_scr[:] = jnp.zeros_like(du_scr)
         db_scr[:] = jnp.zeros_like(db_scr)
 
@@ -211,7 +251,7 @@ def _bwd_kernel(dout_ref, gates_ref, hs_cur_ref, hs_prev_ref,
     du_scr[:] = du_scr[:] + du_acc
     db_scr[:] = db_scr[:] + db_acc
 
-    @pl.when(rev == n_blk - 1)
+    @pl.when(jnp.logical_and(ci == pl.num_programs(0) - 1, rev == n_blk - 1))
     def _():
         du_ref[:] = du_scr[:]
         db_ref[:] = db_scr[:]
@@ -221,25 +261,28 @@ def _bwd_call(dout, gates, hstate, cstate, u, lens):
     t_pad, n, four_h = gates.shape
     h_dim = four_h // 4
     n_blk = t_pad // T_BLK
+    nb = min(_chunk_rows(gates.dtype), n)
+    n_chunks = n // nb
     lens2 = lens.astype(jnp.int32).reshape(n, 1)
-    rev_row = lambda r: (n_blk - 1 - r, 0, 0)
-    prev_row = lambda r: (jnp.maximum(n_blk - 2 - r, 0), 0, 0)
-    const2 = lambda r: (0, 0)
+    rev_row = lambda ci, r: (n_blk - 1 - r, ci, 0)
+    prev_row = lambda ci, r: (jnp.maximum(n_blk - 2 - r, 0), ci, 0)
+    const2 = lambda ci, r: (0, 0)
+    lens_row = lambda ci, r: (ci, 0)
     dx, du, db = pl.pallas_call(
         _bwd_kernel,
-        grid=(n_blk,),
+        grid=(n_chunks, n_blk),
         in_specs=[
-            pl.BlockSpec((T_BLK, n, h_dim), rev_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, four_h), rev_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, h_dim), rev_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, h_dim), prev_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, h_dim), rev_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, n, h_dim), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, four_h), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, h_dim), prev_row, memory_space=pltpu.VMEM),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lens_row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T_BLK, n, four_h), rev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_BLK, nb, four_h), rev_row, memory_space=pltpu.VMEM),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
         ],
@@ -249,12 +292,13 @@ def _bwd_call(dout, gates, hstate, cstate, u, lens):
             jax.ShapeDtypeStruct((1, four_h), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, h_dim), jnp.float32),
-            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
             pltpu.VMEM((h_dim, four_h), jnp.float32),
             pltpu.VMEM((1, four_h), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(dout, gates, hstate, hstate, cstate, cstate, u, lens2)
     return dx, du, db
 
@@ -304,8 +348,10 @@ def lstm_scan(params, x_tm: jnp.ndarray, lens: jnp.ndarray,
     t_pad = -(-t_len // T_BLK) * T_BLK
     if t_pad != t_len:
         x_proj = jnp.pad(x_proj, ((0, t_pad - t_len), (0, 0), (0, 0)))
-    out = _scan_core(x_proj, u, params['bias'], lens, float(forget_bias))
-    return out[:t_len]
+    nb = min(_chunk_rows(x_proj.dtype), -(-n // 8) * 8)
+    x_proj, lens_p = _pad_batch(nb, x_proj, lens)
+    out = _scan_core(x_proj, u, params['bias'], lens_p, float(forget_bias))
+    return out[:t_len, :n]
 
 
 # =============================================================================
@@ -350,11 +396,11 @@ def _bi_fwd_kernel(forget_bias, xf_ref, xb_ref, uf_ref, ub_ref,
                    of_ref, gf_ref, hf_ref, cf_ref,
                    ob_ref, gb_ref, hb_ref, cb_ref,
                    hf_scr, cf_scr, hb_scr, cb_scr):
-    blk = pl.program_id(0)
-    n_blk = pl.num_programs(0)
+    blk = pl.program_id(1)                   # time block within this chunk
+    n_blk = pl.num_programs(1)
 
     @pl.when(blk == 0)
-    def _():
+    def _():                                 # fresh state for each chunk
         for s in (hf_scr, cf_scr, hb_scr, cb_scr):
             s[:] = jnp.zeros_like(s)
 
@@ -394,25 +440,28 @@ def _bi_fwd_call(xpf, xpb, uf, ub, bf, bb, lens, forget_bias):
     t_pad, n, four_h = xpf.shape
     h_dim = four_h // 4
     n_blk = t_pad // T_BLK
+    nb = min(_chunk_rows(xpf.dtype), n)
+    n_chunks = n // nb
     lens2 = lens.astype(jnp.int32).reshape(n, 1)
     rdt = xpf.dtype
-    asc = lambda b: (b, 0, 0)
-    desc = lambda b: (n_blk - 1 - b, 0, 0)
-    const2 = lambda b: (0, 0)
-    time_blk = lambda ch: pl.BlockSpec((T_BLK, n, ch), asc,
+    asc = lambda ci, b: (b, ci, 0)
+    desc = lambda ci, b: (n_blk - 1 - b, ci, 0)
+    const2 = lambda ci, b: (0, 0)
+    lens_row = lambda ci, b: (ci, 0)
+    time_blk = lambda ch: pl.BlockSpec((T_BLK, nb, ch), asc,
                                        memory_space=pltpu.VMEM)
-    time_blk_r = lambda ch: pl.BlockSpec((T_BLK, n, ch), desc,
+    time_blk_r = lambda ch: pl.BlockSpec((T_BLK, nb, ch), desc,
                                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bi_fwd_kernel, float(forget_bias)),
-        grid=(n_blk,),
+        grid=(n_chunks, n_blk),
         in_specs=[
             time_blk(four_h), time_blk_r(four_h),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, four_h), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lens_row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             time_blk(h_dim), time_blk(four_h), time_blk(h_dim), time_blk(h_dim),
@@ -429,8 +478,9 @@ def _bi_fwd_call(xpf, xpb, uf, ub, bf, bb, lens, forget_bias):
             jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
             jax.ShapeDtypeStruct((t_pad, n, h_dim), rdt),
         ],
-        scratch_shapes=[pltpu.VMEM((n, h_dim), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((nb, h_dim), jnp.float32)] * 4,
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(xpf, xpb, uf, ub, bf.reshape(1, four_h), bb.reshape(1, four_h), lens2)
 
 
@@ -472,14 +522,19 @@ def _bi_bwd_kernel(forget_bias,
                    dxf_ref, dxb_ref, duf_ref, dbf_ref, dub_ref, dbb_ref,
                    dhf_scr, dcf_scr, dhb_scr, dcb_scr,
                    duf_scr, dbf_scr, dub_scr, dbb_scr):
-    rev = pl.program_id(0)
-    n_blk = pl.num_programs(0)
+    ci = pl.program_id(0)                    # batch chunk
+    rev = pl.program_id(1)                   # reversed time block
+    n_blk = pl.num_programs(1)
     t_pad = n_blk * T_BLK
 
     @pl.when(rev == 0)
-    def _():
-        for s in (dhf_scr, dcf_scr, dhb_scr, dcb_scr,
-                  duf_scr, dbf_scr, dub_scr, dbb_scr):
+    def _():                                 # fresh carry for each chunk
+        for s in (dhf_scr, dcf_scr, dhb_scr, dcb_scr):
+            s[:] = jnp.zeros_like(s)
+
+    @pl.when(jnp.logical_and(ci == 0, rev == 0))
+    def _():                                 # dU/db accumulate grid-wide
+        for s in (duf_scr, dbf_scr, dub_scr, dbb_scr):
             s[:] = jnp.zeros_like(s)
 
     lens = lens_ref[:]
@@ -537,7 +592,7 @@ def _bi_bwd_kernel(forget_bias,
     dub_scr[:] = dub_scr[:] + du_acc
     dbb_scr[:] = dbb_scr[:] + db_acc
 
-    @pl.when(rev == n_blk - 1)
+    @pl.when(jnp.logical_and(ci == pl.num_programs(0) - 1, rev == n_blk - 1))
     def _():
         duf_ref[:] = duf_scr[:]
         dbf_ref[:] = dbf_scr[:]
@@ -549,17 +604,20 @@ def _bi_bwd_call(dof, dob, gf, hf, cf, gb, hb, cb, uf, ub, lens, forget_bias):
     t_pad, n, four_h = gf.shape
     h_dim = four_h // 4
     n_blk = t_pad // T_BLK
+    nb = min(_chunk_rows(gf.dtype), n)
+    n_chunks = n // nb
     lens2 = lens.astype(jnp.int32).reshape(n, 1)
-    rev_row = lambda r: (n_blk - 1 - r, 0, 0)
-    prev_row = lambda r: (jnp.maximum(n_blk - 2 - r, 0), 0, 0)
-    asc_row = lambda r: (r, 0, 0)
-    next_row = lambda r: (jnp.minimum(r + 1, n_blk - 1), 0, 0)
-    const2 = lambda r: (0, 0)
-    blk = lambda ch, m: pl.BlockSpec((T_BLK, n, ch), m,
+    rev_row = lambda ci, r: (n_blk - 1 - r, ci, 0)
+    prev_row = lambda ci, r: (jnp.maximum(n_blk - 2 - r, 0), ci, 0)
+    asc_row = lambda ci, r: (r, ci, 0)
+    next_row = lambda ci, r: (jnp.minimum(r + 1, n_blk - 1), ci, 0)
+    const2 = lambda ci, r: (0, 0)
+    lens_row = lambda ci, r: (ci, 0)
+    blk = lambda ch, m: pl.BlockSpec((T_BLK, nb, ch), m,
                                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bi_bwd_kernel, float(forget_bias)),
-        grid=(n_blk,),
+        grid=(n_chunks, n_blk),
         in_specs=[
             blk(h_dim, rev_row), blk(four_h, rev_row),
             blk(h_dim, rev_row), blk(h_dim, prev_row),
@@ -569,7 +627,7 @@ def _bi_bwd_call(dof, dob, gf, hf, cf, gb, hb, cb, uf, ub, lens, forget_bias):
             blk(h_dim, asc_row), blk(h_dim, next_row),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lens_row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             blk(four_h, rev_row), blk(four_h, asc_row),
@@ -587,16 +645,17 @@ def _bi_bwd_call(dof, dob, gf, hf, cf, gb, hb, cb, uf, ub, lens, forget_bias):
             jax.ShapeDtypeStruct((1, four_h), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, h_dim), jnp.float32),
-            pltpu.VMEM((n, h_dim), jnp.float32),
-            pltpu.VMEM((n, h_dim), jnp.float32),
-            pltpu.VMEM((n, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
+            pltpu.VMEM((nb, h_dim), jnp.float32),
             pltpu.VMEM((h_dim, four_h), jnp.float32),
             pltpu.VMEM((1, four_h), jnp.float32),
             pltpu.VMEM((h_dim, four_h), jnp.float32),
             pltpu.VMEM((1, four_h), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(dof, gf, hf, hf, cf, cf, dob, gb, hb, hb, cb, cb, uf, ub, lens2)
 
 
@@ -648,8 +707,10 @@ def bilstm(params, x: jnp.ndarray, lens: jnp.ndarray,
     t_pad = -(-t_len // T_BLK) * T_BLK
     if t_pad != t_len:
         xp = jnp.pad(xp, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    nb = min(_chunk_rows(xp.dtype), -(-n // 8) * 8)
+    xp, lens_p = _pad_batch(nb, xp, lens)
     of, ob = _bi_core(xp[:, :, :four_h], xp[:, :, four_h:],
                       kf[d:], kb[d:], params['fw']['bias'],
-                      params['bw']['bias'], lens, float(forget_bias))
-    out = jnp.concatenate([of[:t_len], ob[:t_len]], axis=-1)
+                      params['bw']['bias'], lens_p, float(forget_bias))
+    out = jnp.concatenate([of[:t_len, :n], ob[:t_len, :n]], axis=-1)
     return jnp.swapaxes(out, 0, 1)

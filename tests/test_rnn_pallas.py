@@ -222,3 +222,55 @@ def test_select_bilstm_dispatch():
         assert rnn.select_bilstm() is rnn.bilstm_scan_pair
     finally:
         cfg.LSTM_IMPL = old
+
+
+# --- batch-chunked grid (VMEM frame constant in batch size) ------------------
+
+def test_fused_bilstm_multi_chunk_batch():
+    """Batches past the per-chunk row cap tile onto the leading grid dim
+    (f32 cap is 32, so n=40 pads to 64 and runs as 2 chunks): outputs and
+    all gradients must still match the scan pair, including the padded
+    rows being invisible."""
+    assert rnn_pallas._chunk_rows(jnp.float32) == 32
+    cells = rnn.bilstm_init(jax.random.PRNGKey(7), input_dim=12, num_hids=16)
+    rng = np.random.RandomState(7)
+    n, t = 40, 11
+    x = jnp.asarray(rng.randn(n, t, 12).astype(np.float32))
+    lens = jnp.asarray(rng.randint(1, t + 1, size=(n,)).astype(np.int32))
+
+    ref = np.asarray(rnn.bilstm_scan_pair(cells, x, lens))
+    fused = np.asarray(rnn_pallas.bilstm(cells, x, lens))
+    assert fused.shape == (n, t, 16)
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda p, x: jnp.sum(jnp.tanh(fn(p, x, lens)))
+
+    gr, grx = jax.grad(loss(rnn.bilstm_scan_pair), argnums=(0, 1))(cells, x)
+    gf, gfx = jax.grad(loss(rnn_pallas.bilstm), argnums=(0, 1))(cells, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), gr, gf)
+    np.testing.assert_allclose(np.asarray(gfx), np.asarray(grx),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_scan_multi_chunk_batch():
+    params, _, _ = _case(11)
+    rng = np.random.RandomState(11)
+    n, t = 40, 9
+    x = jnp.asarray(rng.randn(t, n, 12).astype(np.float32))
+    lens = jnp.asarray(rng.randint(1, t + 1, size=(n,)).astype(np.int32))
+    out_p = np.asarray(rnn_pallas.lstm_scan(params, x, lens))
+    out_s = np.asarray(rnn.lstm_scan(params, x, lens))
+    assert out_p.shape == (t, n, 8)
+    np.testing.assert_allclose(out_p, out_s, rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda p, x: jnp.sum(jnp.tanh(fn(p, x, lens)))
+
+    gs, gsx = jax.grad(loss(rnn.lstm_scan), argnums=(0, 1))(params, x)
+    gp, gpx = jax.grad(loss(rnn_pallas.lstm_scan), argnums=(0, 1))(params, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), gs, gp)
+    np.testing.assert_allclose(np.asarray(gpx), np.asarray(gsx),
+                               rtol=1e-4, atol=1e-5)
