@@ -147,6 +147,7 @@ __C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev p
 # multi-chip DP over ICI is the TPU-native scale-out (parallel/mesh.py).
 __C.PARALLEL = 'auto'          # 'auto' | 'off'
 __C.RENDERER = 'captcha'       # 'captcha' (reference parity) | 'scene' (photo-like)
+                               # | 'native' (C++ hot loop, native/synth.cpp)
 __C.RECORDS_PATH = './data/train_4_6.records'
 __C.POOL_SIZE = 20000          # pre-rendered images for the 'pool' backend
 __C.POOL_REFRESH = 2           # images re-rendered per served batch

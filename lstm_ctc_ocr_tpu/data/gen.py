@@ -40,11 +40,12 @@ _renderer_cache = {}
 
 
 def _renderer():
-    """Renderer per ``cfg.RENDERER``: 'captcha' (reference parity) or
-    'scene' (photo-like text lines, BASELINE config #5). Cached per
-    (renderer, font): renderers parse the TrueType font at several sizes
-    on construction, which would otherwise repeat for every image on the
-    render-bound 1-core host path."""
+    """Renderer per ``cfg.RENDERER``: 'captcha' (reference parity),
+    'scene' (photo-like text lines, BASELINE config #5), or 'native'
+    (the C++ hot loop, native/synth.cpp — ~20x the PIL rate on the
+    render-bound host path). Cached per (renderer, font): renderers parse
+    the TrueType font at several sizes on construction, which would
+    otherwise repeat for every image."""
     from ..config import resolve_font
     font = resolve_font()                 # bundled-fonts fallback chain
     key = (str(cfg.RENDERER), font)
@@ -53,6 +54,9 @@ def _renderer():
         if key[0] == 'scene':
             from .scene import SceneTextRenderer
             r = SceneTextRenderer(fonts=[font])
+        elif key[0] == 'native':
+            from ..native.synth import NativeCaptcha
+            r = NativeCaptcha(str(cfg.CHARSET), font, int(cfg.IMG_HEIGHT))
         else:
             r = ImageCaptcha(fonts=[font])
         _renderer_cache[key] = r
@@ -63,6 +67,8 @@ def generate_img(rng=None) -> Tuple[np.ndarray, str]:
     """Render one text line -> (grayscale uint8 [H, W] array, label string)."""
     chars = gen_rand(rng)
     img = _renderer().generate_image(chars, rng=rng)
+    if isinstance(img, np.ndarray):       # native renderer: already gray,
+        return img, chars                 # already at model height
     if cfg.NCHANNELS == 1:
         img = img.convert('L')
     return np.asarray(img), chars
