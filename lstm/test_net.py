@@ -13,6 +13,12 @@ sys.path.insert(0, os.path.join(this_dir, '..'))
 
 import numpy as np
 
+if os.environ.get('JAX_PLATFORMS'):
+    # the axon TPU tunnel ignores the env var; apply it through the config
+    # API so JAX_PLATFORMS=cpu drives work while training holds the chip
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
 from lstm_ctc_ocr_tpu.config import (AttrDict, cfg, cfg_from_file,
                                      cfg_from_list, get_log_dir,
                                      get_output_dir)

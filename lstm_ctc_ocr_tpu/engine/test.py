@@ -163,6 +163,7 @@ class SolverWrapper:
 
         total = correct = 0
         latencies: List[float] = []
+        chunk_times: List[tuple] = []       # (n_images, decode_seconds)
         t0 = _time.perf_counter()
         for width, names in sorted(by_bucket.items()):
             for i in range(0, len(names), batch):
@@ -180,6 +181,10 @@ class SolverWrapper:
                 tb = _time.perf_counter()
                 dec = np.asarray(decode_step(params, jnp.asarray(images),
                                              jnp.asarray(steps)))
+                chunk_times.append((len(chunk), _time.perf_counter() - tb))
+                if os.environ.get('LSTM_EVAL_DEBUG'):
+                    print('chunk decode: {:.3f}s'.format(
+                        chunk_times[-1][1]), flush=True)
                 per_image = (_time.perf_counter() - tb) / batch
                 latencies.extend([per_image] * len(chunk))
                 for fname, ids in zip(chunk, dec):
@@ -195,7 +200,16 @@ class SolverWrapper:
         print('total acc:{}/{}={:.4f}'.format(correct, total, acc))
         print('p50 decode latency: {:.4f}s (amortized, batch {})'.format(
             p50, batch))
-        print('batched decode: {:.1f} images/sec'.format(ips))
+        print('batched decode: {:.1f} images/sec total'.format(ips))
+        # the first decode call carries XLA compilation (and, over the axon
+        # tunnel, an intermittent multi-minute first-dispatch stall); the
+        # steady-state rate is what repeated/serving eval actually sustains
+        if len(chunk_times) > 1:
+            warm_n = sum(n for n, _ in chunk_times[1:])
+            warm_dt = sum(s for _, s in chunk_times[1:])
+            if warm_dt > 0:
+                print('batched decode: {:.1f} images/sec steady-state '
+                      '(excl. first-call compile)'.format(warm_n / warm_dt))
         return acc, p50
 
 
