@@ -133,6 +133,10 @@ __C.SPACE_TOKEN = ''
 # fits, so XLA compiles one program per bucket instead of one per batch width.
 __C.BUCKETS = [64, 96, 128, 160, 192, 224, 256]
 __C.CTC_IMPL = 'pallas'        # 'pallas' | 'jax'   (Pallas kernel vs lax.scan)
+# 'shifted' lowers the channel-heavy convs to sums of shifted matmuls
+# (ops/conv.py) instead of XLA's native conv — same numerics, better MXU
+# shapes at this model's tiny post-pool spatial extents. 'xla' = native conv.
+__C.CONV_IMPL = 'xla'          # 'xla' | 'shifted'
 __C.LSTM_IMPL = 'pallas'       # 'pallas' | 'jax'   (fused VMEM-resident scan)
 __C.DECODER = 'greedy'         # 'greedy' | 'beam'
 __C.BEAM_WIDTH = 16

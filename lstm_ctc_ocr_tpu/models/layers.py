@@ -68,9 +68,17 @@ def conv_single_apply(params, x, ctx, k_h, k_w, c_o, s_h, s_w, c_i=None,
     # conv runs in the compute dtype (bf16 on TPU: the MXU still accumulates
     # in f32 internally); avoid preferred_element_type here — a widened
     # output dtype breaks the conv transpose (VJP) dtype agreement
-    y = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(s_h, s_w), padding=padding,
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    from ..config import cfg
+    ci = kernel.shape[2]
+    if str(cfg.CONV_IMPL) == 'shifted' and k_h * k_w * ci >= 256:
+        # shifted-matmul lowering for the channel-heavy convs (ops/conv.py):
+        # identical numerics, MXU-shaped dot_generals fwd AND bwd
+        from ..ops.conv import conv2d_shifted
+        y = conv2d_shifted(x, kernel, (s_h, s_w), padding)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(s_h, s_w), padding=padding,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     if biased:
         y = y + _cast(params['biases'], ctx)
     if bn:
