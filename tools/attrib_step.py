@@ -104,13 +104,17 @@ def main():
         ('ctc=scan   lstm=pallas', {'CTC_IMPL': 'scan', 'LSTM_IMPL': 'pallas'}),
         ('ctc=pallas lstm=scan  ', {'CTC_IMPL': 'pallas', 'LSTM_IMPL': 'scan'}),
         ('ctc=none   lstm=pallas', None),
+        ('conv=shifted          ', {'CTC_IMPL': 'pallas', 'LSTM_IMPL': 'pallas',
+                                    'CONV_IMPL': 'shifted'}),
     ]
+    defaults = {'CTC_IMPL': 'pallas', 'LSTM_IMPL': 'pallas',
+                'CONV_IMPL': str(cfg.CONV_IMPL)}
     results = {}
     for name, sets in variants:
         if sets is None:
             step = make_dummy_step()
         else:
-            for k, v in sets.items():
+            for k, v in {**defaults, **sets}.items():
                 setattr(cfg, k, v)
             step = make_train_step(net, tx, dt)
         ms = time_step_fn(step)
