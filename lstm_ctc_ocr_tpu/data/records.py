@@ -107,10 +107,18 @@ def write_image_annotation_pairs_to_records(img_dir: str, out_path: str) -> int:
 
 
 class RecordsDataset:
-    """mmap-backed random-access reader."""
+    """mmap-backed random-access reader.
 
-    def __init__(self, path: str):
+    ``cache_resized`` keeps each image's height-32 resize from its first
+    use (the per-batch cv2 resize is the hot host op on 1-core hosts —
+    same trick as the pool backend). Memory: ~IMG_HEIGHT * mean_width
+    bytes per example (~0.3 GB for a 100k-example captcha set); disable
+    for huge datasets.
+    """
+
+    def __init__(self, path: str, cache_resized: bool = True):
         self.path = path
+        self._resized = {} if cache_resized else None
         self._file = open(path, 'rb')
         self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
         assert self._mm[:4] == MAGIC, 'not a records file: {}'.format(path)
@@ -140,6 +148,18 @@ class RecordsDataset:
                                      offset=p)).reshape(h, w)
         return label, img
 
+    def get_at_model_height(self, i: int) -> Tuple[str, np.ndarray]:
+        """(label, image resized to cfg.IMG_HEIGHT), cached when enabled."""
+        from .gen import _resize_keep_aspect
+        if self._resized is not None and i in self._resized:
+            return self._resized[i]
+        label, img = self.get(i)
+        if img.shape[0] != int(cfg.IMG_HEIGHT):
+            img = _resize_keep_aspect(img, int(cfg.IMG_HEIGHT))
+        if self._resized is not None:
+            self._resized[i] = (label, img)
+        return label, img
+
     def batch_iterator(self, batch_size: int, shuffle: bool = True,
                        seed: int = 0, epochs: Optional[int] = None
                        ) -> Iterator[DeviceBatch]:
@@ -153,7 +173,7 @@ class RecordsDataset:
             order = rng.permutation(n) if shuffle else np.arange(n)
             for start in range(0, n - batch_size + 1, batch_size):
                 idx = order[start:start + batch_size]
-                pairs = [self.get(int(i)) for i in idx]
+                pairs = [self.get_at_model_height(int(i)) for i in idx]
                 yield bucket_batch([im for _, im in pairs],
                                    [lab for lab, _ in pairs])
             epoch += 1

@@ -48,13 +48,15 @@ def bench_renderer(name: str, n: int) -> dict:
 def bench_backend(name: str, batch: int, n_batches: int) -> dict:
     import jax
     seed = int(cfg.RNG_SEED)
+    n_examples = 0
     if name == 'records':
         from lstm_ctc_ocr_tpu.data.records import RecordsDataset
         path = str(cfg.RECORDS_PATH)
         if not os.path.exists(path):
             return {'backend': name, 'skipped': 'no records file at ' + path}
-        stream = RecordsDataset(path).batch_iterator(
-            batch, shuffle=True, seed=seed)
+        ds = RecordsDataset(path)
+        n_examples = len(ds)
+        stream = ds.batch_iterator(batch, shuffle=True, seed=seed)
     elif name == 'pool':
         from lstm_ctc_ocr_tpu.data.pool import PoolSampler
         stream = PoolSampler(int(cfg.POOL_SIZE), seed=seed,
@@ -65,8 +67,11 @@ def bench_backend(name: str, batch: int, n_batches: int) -> dict:
         workers = effective_workers(int(cfg.TRAIN.NUM_WORKERS))
         stream = get_batch(num_workers=workers, seed=seed,
                            batch_size=batch, bucketed=True)
+    # records: one full epoch fills the resized-image cache — training
+    # runs many epochs over a fixed set, so steady-state is the real rate
+    warm = (n_examples // batch + 2) if name == 'records' else 3
     try:
-        for _ in range(3):                     # warmup / queue fill
+        for _ in range(min(warm, 4000)):       # warmup / queue/cache fill
             next(stream)
         t0 = time.perf_counter()
         for _ in range(n_batches):
