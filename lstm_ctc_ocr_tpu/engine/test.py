@@ -100,19 +100,44 @@ class SolverWrapper:
             # extra flat keys (opt_state/...) in the snapshot are ignored
             params = checkpoint.restore({'params': params}, path)['params']
             print('done (step {})'.format(step))
+        _, decode_maps = get_encode_decode_dict()
+        files = sorted(os.listdir(testDir))
+        batch = int(cfg.TEST.BATCH_SIZE)
+
+        # like training (train.py:_select_mesh), batched eval scales over
+        # every visible chip: DP mesh when the batch splits evenly
+        mesh = None
+        if batch > 1 and str(cfg.PARALLEL) != 'off':
+            nd = len(jax.devices())
+            while nd > 1 and batch % nd:
+                nd -= 1
+            if nd > 1:
+                from ..parallel import mesh as pmesh
+                mesh = pmesh.make_mesh(nd)
+                print('eval DP mesh over {} device(s)'.format(mesh.size))
+
         # restore() returns host numpy arrays; push the pytree to the device
         # once — otherwise EVERY decode call re-transfers all ~7M params
         # (hundreds of leaves), which through the TPU tunnel costs seconds
         # per batch and dominated eval wall time
-        params = jax.device_put(params)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            params = jax.device_put(params, pmesh.replicated(mesh))
+            decode_step = pmesh.make_parallel_decode_step(
+                self.net, dtype, mesh)
 
-        decode_step = make_decode_step(self.net, dtype)
-        _, decode_maps = get_encode_decode_dict()
-        files = sorted(os.listdir(testDir))
-        batch = int(cfg.TEST.BATCH_SIZE)
+            def put(*arrays):
+                return pmesh.shard_batch(mesh, *arrays)
+        else:
+            params = jax.device_put(params)
+            decode_step = make_decode_step(self.net, dtype)
+
+            def put(*arrays):
+                return tuple(jnp.asarray(a) for a in arrays)
+
         if batch > 1:
             return self._test_batched(decode_step, params, decode_maps,
-                                      testDir, files, batch)
+                                      testDir, files, batch, put)
 
         timer = Timer()
         total = correct = 0
@@ -138,7 +163,7 @@ class SolverWrapper:
         return acc, p50
 
     def _test_batched(self, decode_step, params, decode_maps,
-                      testDir, files, batch):
+                      testDir, files, batch, put):
         """Throughput eval: images grouped by width bucket, decoded in
         fixed-shape batches (TPU-first addition; cfg.TEST.BATCH_SIZE > 1).
         The reference evaluates strictly one image at a time
@@ -179,8 +204,7 @@ class SolverWrapper:
                 steps = np.array([x[1] for x in loaded]
                                  + [loaded[-1][1]] * pad, np.int32)
                 tb = _time.perf_counter()
-                dec = np.asarray(decode_step(params, jnp.asarray(images),
-                                             jnp.asarray(steps)))
+                dec = np.asarray(decode_step(params, *put(images, steps)))
                 chunk_times.append((len(chunk), _time.perf_counter() - tb))
                 if os.environ.get('LSTM_EVAL_DEBUG'):
                     print('chunk decode: {:.3f}s'.format(

@@ -155,3 +155,48 @@ def test_shard_host_batch_single_process(f32_cfg):
     assert g_img.shape == image.shape
     np.testing.assert_array_equal(np.asarray(g_img), image)
     assert g_lab.sharding.spec == jax.sharding.PartitionSpec('data')
+
+
+def test_eval_driver_dp_matches_single_device(f32_cfg, tmp_path):
+    """End-to-end: ./test.sh's batched eval on the 8-device mesh restores a
+    checkpoint and reproduces the single-device accuracy on a small labeled
+    directory (engine/test.py mesh path)."""
+    from PIL import Image as PILImage
+
+    from lstm_ctc_ocr_tpu.config import AttrDict, cfg
+    from lstm_ctc_ocr_tpu.data.gen import generate_img
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+    from lstm_ctc_ocr_tpu.engine.test import SolverWrapper as EvalSolver
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.DECODER = 'greedy'
+
+    # a small labeled eval dir ({idx}_{label}.png, reference test.py:82)
+    import random
+    val_dir = tmp_path / 'val'
+    val_dir.mkdir()
+    rng = random.Random(0)
+    for i in range(10):
+        img, label = generate_img(rng)
+        PILImage.fromarray(img).save(
+            str(val_dir / '{:08d}_{}.png'.format(i, label)))
+
+    # a checkpoint to restore (random init is fine: parity, not accuracy)
+    out_dir = tmp_path / 'out'
+    out_dir.mkdir()
+    net = get_network('LSTM_test')
+    params = net.init_params(
+        jax.random.PRNGKey(3),
+        {'data': (1, int(cfg.BUCKETS[0]), cfg.NUM_FEATURES),
+         'time_step_len': (1,)})
+    checkpoint.save({'params': params}, str(out_dir), step=7)
+
+    results = {}
+    for tag, parallel in (('single', 'off'), ('dp', 'auto')):
+        cfg.PARALLEL = parallel
+        sw = EvalSolver(net, AttrDict({'name': 'test'}), str(out_dir),
+                        str(tmp_path / ('log_' + tag)))
+        results[tag] = sw.test_model(testDir=str(val_dir), restore=True)
+
+    assert results['dp'][0] == results['single'][0]
