@@ -98,3 +98,26 @@ def test_exported_decoder_rejects_oversize(serve_cfg, tmp_path):
     dec = ExportedDecoder(str(tmp_path))
     with pytest.raises(ValueError):
         dec.decode_images([np.zeros((32, 500), np.uint8)])
+
+
+def test_export_roundtrip_beam_decoder(serve_cfg, tmp_path):
+    """The beam decoder (static-shape device beam search, ops/beam.py) must
+    survive export identically — records/scene configs serve with beam."""
+    from lstm_ctc_ocr_tpu.engine.serve import ExportedDecoder, export_decoder
+    from lstm_ctc_ocr_tpu.engine.train import compute_dtype, make_decode_step
+
+    cfg.DECODER = 'beam'
+    cfg.BEAM_WIDTH = 4
+    net, params = _net_and_params(2, 64)
+    export_decoder(net, params, str(tmp_path), buckets=[64], batch=2,
+                   platforms=('cpu',))
+
+    live = make_decode_step(net, compute_dtype())
+    dec = ExportedDecoder(str(tmp_path))
+    rng = np.random.RandomState(3)
+    img = rng.rand(2, 64, cfg.NUM_FEATURES).astype(np.float32)
+    ts = np.full((2,), 64 // 4 - 1, np.int32)
+    got = np.asarray(dec._programs[64].call(jnp.asarray(img),
+                                            jnp.asarray(ts)))
+    want = np.asarray(live(params, jnp.asarray(img), jnp.asarray(ts)))
+    np.testing.assert_array_equal(got, want)
