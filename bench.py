@@ -221,7 +221,15 @@ if __name__ == '__main__':
                          'The TF-CPU baseline is measured at the same batch.')
     ap.add_argument('--width', type=int, default=96)
     ap.add_argument('--refresh-baseline', action='store_true')
+    ap.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
+                    default=None,
+                    help="cfg overrides, e.g. --set CONV_IMPL '\"shifted\"' "
+                         '(impl A/Bs; the CLI surface semantics)')
     args = ap.parse_args()
+
+    if args.set_cfgs:
+        from lstm_ctc_ocr_tpu.config import cfg_from_list
+        cfg_from_list(args.set_cfgs)
 
     ips, flops_per_step, device_kind = bench_tpu_train(
         steps=args.steps, batch=args.batch, width=args.width)
