@@ -153,6 +153,9 @@ __C.PARALLEL = 'auto'          # 'auto' | 'off'
 __C.RENDERER = 'captcha'       # 'captcha' (reference parity) | 'scene' (photo-like)
                                # | 'native' (C++ hot loop, native/synth.cpp)
 __C.RECORDS_PATH = './data/train_4_6.records'
+# cache each record's height-resized image from first use (~0.3 GB per 100k
+# captcha examples); disable for datasets too large to hold resized in RAM
+__C.RECORDS_CACHE_RESIZED = True
 __C.POOL_SIZE = 20000          # pre-rendered images for the 'pool' backend
 __C.POOL_REFRESH = 2           # images re-rendered per served batch
 

@@ -31,7 +31,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from ..config import cfg, get_encode_decode_dict
+from ..config import cfg
 
 MANIFEST = 'manifest.json'
 
@@ -49,7 +49,7 @@ def export_decoder(net, params, out_dir: str,
     from jax import export as jexport
     from .train import make_decode_step
 
-    buckets = [int(b) for b in (buckets or cfg.BUCKETS)]
+    buckets = sorted(int(b) for b in (buckets or cfg.BUCKETS))
     batch = int(batch or cfg.TEST.BATCH_SIZE)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -102,12 +102,19 @@ class ExportedDecoder:
         from jax import export as jexport
         with open(os.path.join(export_dir, MANIFEST)) as f:
             self.manifest = json.load(f)
+        self.manifest['buckets'] = sorted(
+            int(b) for b in self.manifest['buckets'])
         self._programs = {}
         for w in self.manifest['buckets']:
             path = os.path.join(export_dir, _artifact_name(w))
             with open(path, 'rb') as f:
                 self._programs[int(w)] = jexport.deserialize(f.read())
-        _, self._decode_maps = get_encode_decode_dict()
+        # charset comes from the MANIFEST, not the loading process's cfg —
+        # the artifact must decode correctly in a process that never loaded
+        # the training config (standalone contract)
+        self._decode_maps = {0: ''}
+        for i, c in enumerate(self.manifest['charset'], 1):
+            self._decode_maps[i] = c
 
     def _pick_bucket(self, width: int) -> int:
         for b in self.manifest['buckets']:
@@ -117,26 +124,24 @@ class ExportedDecoder:
                          .format(width, self.manifest['buckets'][-1]))
 
     def _prepare(self, img: np.ndarray):
-        import cv2
+        from .test import preprocess_image
         m = self.manifest
         img = np.asarray(img)
-        if img.dtype != np.uint8:
-            img = (np.clip(img, 0, 1) * 255).astype(np.uint8) \
-                if img.max() <= 1.0 else img.astype(np.uint8)
-        h, w = img.shape[:2]
-        if h != m['img_height']:
-            w = int(m['img_height'] / h * w)
-            img = cv2.resize(img, (w, m['img_height']))
-        bucket = self._pick_bucket(w)
-        out = np.zeros((bucket, m['num_features']), np.float32)
-        out[:w] = (img.astype(np.float32) / 255.0).swapaxes(0, 1) \
-            .reshape(w, -1)
-        ts = w // m['pool_scale'] + m['offset_time_step']
-        return bucket, out, ts
+        if np.issubdtype(img.dtype, np.floating):
+            # floats are 0..1 normalized by contract; 0..255-scale floats
+            # are clipped (never wrapped) as a convenience
+            img = np.clip(img, 0, 1) * 255 if img.max() <= 1.0 \
+                else np.clip(img, 0, 255)
+        img = img.astype(np.uint8)
+        out, ts = preprocess_image(
+            img, img_height=m['img_height'], num_features=m['num_features'],
+            pool_scale=m['pool_scale'],
+            offset_time_step=m['offset_time_step'], pick=self._pick_bucket)
+        return out.shape[0], out, ts
 
     def decode_ids_array(self, ids: np.ndarray) -> str:
-        return ''.join(self._decode_maps.get(int(i), '')
-                       for i in np.asarray(ids).ravel() if int(i) != 0)
+        from .test import decode_ids
+        return decode_ids(ids, self._decode_maps)
 
     def decode_images(self, imgs: List[np.ndarray]) -> List[str]:
         import jax.numpy as jnp

@@ -53,6 +53,25 @@ def load_image(path: str) -> np.ndarray:
     return img
 
 
+def preprocess_image(img: np.ndarray, *, img_height: int, num_features: int,
+                     pool_scale: int, offset_time_step: int, pick):
+    """The eval preprocessing contract as a pure function (reference
+    test.py:61-70): resize to ``img_height``, right-pad the width to
+    ``pick(w)``, /255, width-major features. Parameterized so the serving
+    loader (engine/serve.py) runs the IDENTICAL code driven by its manifest
+    instead of live cfg. Returns ([W_pad, num_features] float32, time_step).
+    """
+    import cv2
+    h, w = img.shape[:2]
+    if h != img_height:
+        w = int(img_height / h * w)
+        img = cv2.resize(img, (w, img_height))
+    width = pick(w)
+    out = np.zeros((width, num_features), np.float32)
+    out[:w] = (img.astype(np.float32) / 255.0).swapaxes(0, 1).reshape(w, -1)
+    return out, w // pool_scale + offset_time_step
+
+
 def prepare_single(img: np.ndarray, bucketed: bool = True):
     """Reference test.py:61-70 preprocessing, with optional bucket padding.
 
@@ -60,20 +79,16 @@ def prepare_single(img: np.ndarray, bucketed: bool = True):
     Eval-time images are resized to height IMG_HEIGHT first when needed
     (offline datasets are rendered at height 60 like the generator's input).
     """
-    import cv2
-    h, w = img.shape[:2]
-    if h != cfg.IMG_HEIGHT:
-        w = int(cfg.IMG_HEIGHT / h * w)
-        img = cv2.resize(img, (w, cfg.IMG_HEIGHT))
     if bucketed:
-        width = pick_bucket(w)
+        pick = pick_bucket
     else:
-        width = math.ceil(w / cfg.POOL_SCALE) * cfg.POOL_SCALE
-    img = cv2.copyMakeBorder(img, 0, 0, 0, width - w, cv2.BORDER_CONSTANT,
-                             value=0).astype(np.float32) / 255.0
-    img = img.swapaxes(0, 1).reshape(1, width, cfg.NUM_FEATURES)
-    time_step = np.array([w // cfg.POOL_SCALE + cfg.OFFSET_TIME_STEP], np.int32)
-    return img, time_step
+        def pick(w):
+            return math.ceil(w / cfg.POOL_SCALE) * cfg.POOL_SCALE
+    out, ts = preprocess_image(
+        img, img_height=int(cfg.IMG_HEIGHT),
+        num_features=int(cfg.NUM_FEATURES), pool_scale=int(cfg.POOL_SCALE),
+        offset_time_step=int(cfg.OFFSET_TIME_STEP), pick=pick)
+    return out[None], np.array([ts], np.int32)
 
 
 class SolverWrapper:

@@ -183,7 +183,8 @@ class SolverWrapper:
         seed = int(cfg.RNG_SEED) + 100003 * jax.process_index()
         if backend == 'records':
             from ..data.records import RecordsDataset
-            ds = RecordsDataset(str(cfg.RECORDS_PATH))
+            ds = RecordsDataset(str(cfg.RECORDS_PATH),
+                                cache_resized=bool(cfg.RECORDS_CACHE_RESIZED))
             print('records backend: {} examples from {}'.format(
                 len(ds), cfg.RECORDS_PATH))
             return ds.batch_iterator(batch_size, shuffle=True, seed=seed)

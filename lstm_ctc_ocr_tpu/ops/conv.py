@@ -48,6 +48,8 @@ def conv2d_shifted(x, kernel, window_strides=(1, 1), padding='SAME'):
     padding, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))`` for string
     paddings, stride >= 1, no dilation.
     """
+    assert padding in ('SAME', 'VALID'), \
+        'conv2d_shifted supports string paddings only, got {!r}'.format(padding)
     n, a, b, ci = x.shape
     kh, kw, kci, co = kernel.shape
     assert ci == kci, (x.shape, kernel.shape)
@@ -57,6 +59,9 @@ def conv2d_shifted(x, kernel, window_strides=(1, 1), padding='SAME'):
     if lo_a or hi_a or lo_b or hi_b:
         x = jnp.pad(x, ((0, 0), (lo_a, hi_a), (lo_b, hi_b), (0, 0)))
 
+    # accumulate the tap sum in f32 (preferred_element_type) and round ONCE
+    # at the end — matches lax.conv's single f32-accumulated rounding in
+    # bf16 instead of k*k-1 intermediate bf16 roundings
     y = None
     for di in range(kh):
         for dj in range(kw):
@@ -66,6 +71,7 @@ def conv2d_shifted(x, kernel, window_strides=(1, 1), padding='SAME'):
                 (1, sa, sb, 1))                       # [N, OA, OB, Ci]
             term = jax.lax.dot_general(
                 sl, kernel[di, dj],
-                ((((3,), (0,))), ((), ())))           # [N, OA, OB, Co]
+                ((((3,), (0,))), ((), ())),           # [N, OA, OB, Co]
+                preferred_element_type=jnp.float32)
             y = term if y is None else y + term
-    return y
+    return y.astype(x.dtype)

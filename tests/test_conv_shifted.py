@@ -92,3 +92,23 @@ def test_model_forward_identical_under_conv_impl():
                                    rtol=1e-5, atol=1e-5)
     finally:
         cfg.CONV_IMPL, cfg.TRAIN.DTYPE = old_impl, old_dtype
+
+
+@pytest.mark.parametrize('in_shape,k_shape', [
+    ((2, 24, 4, 32), (3, 3, 32, 64)),     # conv4-like
+    ((2, 24, 2, 64), (2, 2, 64, 64)),     # conv5-like
+])
+def test_bf16_matches_xla_conv(in_shape, k_shape):
+    """bf16 (the default TRAIN.DTYPE): the shifted lowering accumulates the
+    tap sum in f32 and rounds once, like lax.conv — outputs must agree to
+    bf16 resolution, not drift by k*k-1 extra roundings."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(*in_shape), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(*k_shape), jnp.bfloat16)
+    ref = _xla_conv(x, k, (1, 1), 'SAME')
+    got = conv2d_shifted(x, k, (1, 1), 'SAME')
+    assert got.dtype == jnp.bfloat16
+    # one bf16 ulp (2^-8 relative) of slack for reduction-order ties
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2 ** -8, atol=1e-2)

@@ -121,3 +121,36 @@ def test_export_roundtrip_beam_decoder(serve_cfg, tmp_path):
                                             jnp.asarray(ts)))
     want = np.asarray(live(params, jnp.asarray(img), jnp.asarray(ts)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_exported_decoder_charset_from_manifest(serve_cfg, tmp_path):
+    """The loader must decode with the MANIFEST's charset, not the loading
+    process's live cfg — artifacts are standalone."""
+    from lstm_ctc_ocr_tpu.engine.serve import ExportedDecoder, export_decoder
+
+    net, params = _net_and_params(1, 64)
+    export_decoder(net, params, str(tmp_path), buckets=[64], batch=1,
+                   platforms=('cpu',))
+    dec = ExportedDecoder(str(tmp_path))
+    baseline = dec.decode_images([np.full((32, 60), 128, np.uint8)])
+
+    # sabotage the live cfg; the loader must not notice
+    old = cfg.CHARSET
+    try:
+        cfg.CHARSET = '!@#$%^&*()'
+        dec2 = ExportedDecoder(str(tmp_path))
+        assert dec2.decode_images(
+            [np.full((32, 60), 128, np.uint8)]) == baseline
+    finally:
+        cfg.CHARSET = old
+
+
+def test_export_sorts_buckets(serve_cfg, tmp_path):
+    """Unsorted --buckets must not route images to oversized programs."""
+    from lstm_ctc_ocr_tpu.engine.serve import ExportedDecoder, export_decoder
+    net, params = _net_and_params(1, 64)
+    m = export_decoder(net, params, str(tmp_path), buckets=[96, 64], batch=1,
+                       platforms=('cpu',))
+    assert m['buckets'] == [64, 96]
+    dec = ExportedDecoder(str(tmp_path))
+    assert dec._pick_bucket(50) == 64

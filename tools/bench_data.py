@@ -70,6 +70,7 @@ def bench_backend(name: str, batch: int, n_batches: int) -> dict:
     # records: one full epoch fills the resized-image cache — training
     # runs many epochs over a fixed set, so steady-state is the real rate
     warm = (n_examples // batch + 2) if name == 'records' else 3
+    warm_truncated = warm > 4000               # huge dataset: partially cold
     try:
         for _ in range(min(warm, 4000)):       # warmup / queue/cache fill
             next(stream)
@@ -81,9 +82,12 @@ def bench_backend(name: str, batch: int, n_batches: int) -> dict:
         close = getattr(stream, 'close', None)
         if close:
             close()
-    return {'backend': name, 'batch': batch,
-            'batches_per_sec': round(n_batches / dt, 2),
-            'img_per_sec': round(n_batches * batch / dt, 1)}
+    out = {'backend': name, 'batch': batch,
+           'batches_per_sec': round(n_batches / dt, 2),
+           'img_per_sec': round(n_batches * batch / dt, 1)}
+    if warm_truncated:
+        out['warm_truncated'] = True   # cache not fully warm: NOT steady-state
+    return out
 
 
 def main():
