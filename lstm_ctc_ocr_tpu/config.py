@@ -156,6 +156,9 @@ __C.RECORDS_PATH = './data/train_4_6.records'
 # cache each record's height-resized image from first use (~0.3 GB per 100k
 # captcha examples); disable for datasets too large to hold resized in RAM
 __C.RECORDS_CACHE_RESIZED = True
+# worker start method for the synth enqueuer: 'fork' (reference behavior,
+# fast) or 'spawn' (safe under multi-threaded parents like a JAX process)
+__C.MP_START = 'fork'
 __C.POOL_SIZE = 20000          # pre-rendered images for the 'pool' backend
 __C.POOL_REFRESH = 2           # images re-rendered per served batch
 

@@ -73,13 +73,17 @@ class GeneratorEnqueuer:
         self.queue = None
         self._inline_gen = None
 
-    def start(self, workers: int = 4, max_queue_size: int = 24) -> None:
+    def start(self, workers: int = 4, max_queue_size: int = 24,
+              start_method: str = 'fork') -> None:
+        """``start_method``: 'fork' (fast; the reference's behavior) or
+        'spawn' (safe in multi-threaded parents — a JAX process is one — and
+        the future CPython default; requires a picklable factory)."""
         if workers <= 0:
             # inline mode honors the seed too (the docstring's determinism
             # contract); seed-aware factories get it passed explicitly
             self._inline_gen = _call_factory(self._gen_factory, self._seed)
             return
-        ctx = mp.get_context('fork')
+        ctx = mp.get_context(start_method)
         self.queue = ctx.Queue(maxsize=max_queue_size)
         self._stop_event = ctx.Event()
         for i in range(workers):

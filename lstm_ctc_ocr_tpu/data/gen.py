@@ -215,20 +215,32 @@ def generator(batch_size: int = 32, bucketed: bool = True, rng=None):
             continue
 
 
+class _GeneratorFactory:
+    """Picklable seed-aware generator factory: a module-level class (NOT a
+    closure) so worker processes can receive it under the 'spawn' start
+    method as well as 'fork'."""
+
+    def __init__(self, kwargs, explicit_rng=None):
+        self.kwargs = kwargs
+        self.explicit_rng = explicit_rng   # test hook; inline mode only
+
+    def __call__(self, s=None):
+        rng = self.explicit_rng if self.explicit_rng is not None \
+            else (random.Random(s) if s is not None else None)
+        return generator(rng=rng, **self.kwargs)
+
+
 def get_batch(num_workers: int, seed: int = 0, **kwargs):
     """Prefetching batch stream (gen.py:112-128 equivalent).
 
     ``num_workers=0`` runs inline (deterministic; right choice on 1-core
     hosts and in tests). Returns a generator; the enqueuer is stopped when
-    the generator is closed.
+    the generator is closed. Worker start method per ``cfg.MP_START``.
     """
     explicit_rng = kwargs.pop('rng', None)
-    enq = GeneratorEnqueuer(
-        lambda s=None: generator(
-            rng=explicit_rng if explicit_rng is not None
-            else (random.Random(s) if s is not None else None), **kwargs),
-        seed=seed)
-    enq.start(workers=num_workers)
+    enq = GeneratorEnqueuer(_GeneratorFactory(kwargs, explicit_rng),
+                            seed=seed)
+    enq.start(workers=num_workers, start_method=str(cfg.MP_START))
 
     def _stream():
         try:

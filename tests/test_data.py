@@ -182,3 +182,25 @@ def test_enqueuer_worker_failure_detected():
             enq.get(timeout=20.0)
     finally:
         enq.stop()
+
+
+def test_enqueuer_spawn_workers_product_stream():
+    """'spawn' start method (safe under multi-threaded parents; future
+    CPython default): the product factory must be picklable and a spawn
+    worker must deliver real bucketed batches."""
+    from lstm_ctc_ocr_tpu.data.gen import DeviceBatch, get_batch
+
+    old = cfg.MP_START
+    cfg.MP_START = 'spawn'
+    try:
+        stream = get_batch(num_workers=1, seed=5, batch_size=4,
+                           bucketed=True)
+        try:
+            b = next(stream)
+            assert isinstance(b, DeviceBatch)
+            assert b.image.shape[0] == 4
+            assert b.image.shape[1] in tuple(cfg.BUCKETS)
+        finally:
+            stream.close()
+    finally:
+        cfg.MP_START = old
