@@ -13,18 +13,16 @@ over time, one ``top_k`` over the K*(C+1) candidate scores per step, and a
 
 Cross-beam prefix merge: identical prefixes arising on different beams
 (a "stay" of one beam colliding with an "extend" of another) are re-merged
-every step — candidates are expanded to the top 2K, duplicates detected via
-a static [2K, 2K] prefix-equality matrix, their blank/non-blank masses
-combined with a masked logsumexp, and the merged set re-ranked down to K.
-This matches the hypothesis-map merging of TF's C++ decoder without any
-dynamic shapes.
+every step, EXACTLY and before pruning: every stay-candidate is compared
+against every extend-candidate via a static [K, K] prefix-equality match,
+colliding masses combined with a masked logsumexp into the stay candidate
+and the extend candidate killed, and only then is the merged candidate set
+``top_k``-pruned to K. This reproduces the hypothesis-map merging of TF's
+C++ decoder with no dynamic shapes.
 
 Documented deviations from TF's C++ decoder:
 * blank is class 0 (the training convention of warp-ctc and this
   framework), not TF's last-class;
-* TF merges duplicates in its scoring map *before* beam pruning; we merge
-  after pruning to 2K candidates, which can differ when more than 2K
-  candidates matter — vanishingly rare at OCR posteriors;
 * ``merge_repeated=True``-style post-collapse is off by default (TF's
   own docs call that mode "much less likely to be correct"; repeats are
   handled correctly by the CTC transition rules) but available for
@@ -39,7 +37,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = -1e30
+from .ctc import NEG_INF    # one shared log-zero sentinel across ops/
 
 
 def _lse(a, b):

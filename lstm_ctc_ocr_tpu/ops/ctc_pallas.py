@@ -1,8 +1,10 @@
 """Pallas TPU kernel for the CTC forward-backward.
 
 The hot recursion of ``ops/ctc.py`` as a hand-written TPU kernel — the
-framework's answer to warp-ctc's CUDA kernels. Layout maps the problem
-directly onto the VPU register file:
+framework's answer to warp-ctc's CUDA kernels (the reference's only native
+component: imported at /root/reference/lib/networks/network.py:6, called
+at network.py:653-654). Layout maps the problem directly onto the VPU
+register file:
 
 * extended-label states S = 2L+1 live on the **lane** axis (padded to 128
   — label lengths up to 63 chars fit one register row);
@@ -25,8 +27,6 @@ Off-TPU the kernels run in interpreter mode (tests; CPU dry-runs).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -39,8 +39,7 @@ LANES = 128      # S axis padded to one register row
 TILE_N = 8       # examples per program (f32 sublane count)
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != 'tpu'
+from .pallas_util import interpret_off_tpu as _interpret  # noqa: E402
 
 
 # the clamped log-sum-exp / S-axis shift numerics live in ops/ctc.py and are
@@ -88,12 +87,13 @@ def _fwd_kernel(g_ref, skip_ref, valid_ref, final_ref,
 # --- backward kernel ----------------------------------------------------------
 
 def _bwd_kernel(g_ref, skip_ref, valid_ref, final_ref, alphas_ref, logz_ref,
-                tmask_ref, grad_ref, beta_scr):
+                lens_ref, grad_ref, beta_scr):
     t_len = g_ref.shape[1]
     skip_in = skip_ref[:]
     valid = valid_ref[:]
     final = final_ref[:]
     logz = logz_ref[:]           # [8, 1]
+    lens = lens_ref[:]           # [8, 1] int32 valid-frame counts
 
     def _shiftl(x):
         return jnp.concatenate(
@@ -111,7 +111,10 @@ def _bwd_kernel(g_ref, skip_ref, valid_ref, final_ref, alphas_ref, logz_ref,
         g_t = g_ref[:, t, :]
         lg = alphas_ref[:, t, :] + beta - g_t - logz
         post = jnp.where(lg > NEG_INF / 2, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
-        grad_ref[:, t, :] = -post * feasible * tmask_ref[:, t, :]
+        # time mask derived in-kernel from the [8,1] lengths row — no
+        # [N, T, 128] mask cube streamed from HBM
+        tm = (t < lens).astype(post.dtype)            # [8, 1] broadcast
+        grad_ref[:, t, :] = -post * feasible * tm
 
     g_last = g_ref[:, t_len - 1, :]
     beta_last = jnp.maximum(g_last + final + valid, NEG_INF)
@@ -162,12 +165,6 @@ def _pad_args(logp, labels, label_lens, logit_lens):
             _as_additive(final), ext, n_pad)
 
 
-def _time_mask(n, t_len, logit_lens):
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (n, t_len), 1)
-    m = (t_idx < logit_lens[:, None]).astype(jnp.float32)
-    return jnp.broadcast_to(m[:, :, None], (n, t_len, LANES))
-
-
 def _run_forward(g, skip, valid, final):
     n_pad, t_len, _ = g.shape
     grid = (n_pad // TILE_N,)
@@ -196,7 +193,7 @@ def _run_forward(g, skip, valid, final):
     return logz, alphas
 
 
-def _run_backward(g, skip, valid, final, alphas, logz, tmask):
+def _run_backward(g, skip, valid, final, alphas, logz, lens2):
     n_pad, t_len, _ = g.shape
     grid = (n_pad // TILE_N,)
     row = lambda i: (i, 0)
@@ -211,14 +208,14 @@ def _run_backward(g, skip, valid, final, alphas, logz, tmask):
             pl.BlockSpec((TILE_N, LANES), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, t_len, LANES), cube, memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, t_len, LANES), cube, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), row, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_N, t_len, LANES), cube,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, t_len, LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TILE_N, LANES), jnp.float32)],
         interpret=_interpret(),
-    )(g, skip, valid, final, alphas, logz, tmask)
+    )(g, skip, valid, final, alphas, logz, lens2)
     return grad_g
 
 
@@ -248,8 +245,8 @@ def _vjp_bwd(saved, dloss):
     n_pad = g.shape[0]
     lens_pad = jnp.pad(logit_lens, (0, n_pad - n), constant_values=1) \
         if n_pad != n else logit_lens
-    tmask = _time_mask(n_pad, t_len, lens_pad)
-    grad_g = _run_backward(g, skip, valid, final, alphas, logz, tmask)
+    lens2 = lens_pad.astype(jnp.int32)[:, None]          # [N_pad, 1]
+    grad_g = _run_backward(g, skip, valid, final, alphas, logz, lens2)
     grad_g = grad_g[:n, :, :ext.shape[1]]                # strip padding
     onehot = jax.nn.one_hot(ext[:n], c, dtype=grad_g.dtype)   # [N, S, C]
     grad_logp = jnp.einsum('nts,nsc->ntc', grad_g, onehot,

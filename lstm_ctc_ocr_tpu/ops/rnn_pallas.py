@@ -49,8 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 T_BLK = 8      # timesteps per grid step (time axis padded to a multiple)
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != 'tpu'
+from .pallas_util import interpret_off_tpu as _interpret  # noqa: E402
 
 
 # The Mosaic default scoped-vmem limit (16 MB) is sized for small kernels;
@@ -213,9 +212,9 @@ def _bwd_kernel(dout_ref, gates_ref, hs_cur_ref, hs_prev_ref,
         if k > 0:
             h_prev_raw = hs_cur_ref[k - 1]
             c_prev_raw = cs_cur_ref[k - 1]
-        else:                            # crosses the block boundary
-            h_prev_raw = hs_prev_ref[T_BLK - 1]
-            c_prev_raw = cs_prev_ref[T_BLK - 1]
+        else:                            # crosses the block boundary: the
+            h_prev_raw = hs_prev_ref[0]  # precomputed [1, nb, H] boundary
+            c_prev_raw = cs_prev_ref[0]  # row, not a full re-fetched block
         first = (t == 0).astype(jnp.float32)       # zero state before t=0
         h_prev = (1.0 - first) * h_prev_raw.astype(jnp.float32)
         c_prev = (1.0 - first) * c_prev_raw.astype(jnp.float32)
@@ -264,8 +263,13 @@ def _bwd_call(dout, gates, hstate, cstate, u, lens):
     nb = min(_chunk_rows(gates.dtype), n)
     n_chunks = n // nb
     lens2 = lens.astype(jnp.int32).reshape(n, 1)
+    # block-boundary state rows, precomputed once: [n_blk, N, H] — the
+    # kernel's cross-boundary read streams ONE row per grid step instead of
+    # re-fetching the whole neighboring [T_BLK, nb, H] block
+    h_bound = hstate[T_BLK - 1::T_BLK]
+    c_bound = cstate[T_BLK - 1::T_BLK]
     rev_row = lambda ci, r: (n_blk - 1 - r, ci, 0)
-    prev_row = lambda ci, r: (jnp.maximum(n_blk - 2 - r, 0), ci, 0)
+    prev_bound = lambda ci, r: (jnp.maximum(n_blk - 2 - r, 0), ci, 0)
     const2 = lambda ci, r: (0, 0)
     lens_row = lambda ci, r: (ci, 0)
     dx, du, db = pl.pallas_call(
@@ -275,9 +279,9 @@ def _bwd_call(dout, gates, hstate, cstate, u, lens):
             pl.BlockSpec((T_BLK, nb, h_dim), rev_row, memory_space=pltpu.VMEM),
             pl.BlockSpec((T_BLK, nb, four_h), rev_row, memory_space=pltpu.VMEM),
             pl.BlockSpec((T_BLK, nb, h_dim), rev_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, nb, h_dim), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, h_dim), prev_bound, memory_space=pltpu.VMEM),
             pl.BlockSpec((T_BLK, nb, h_dim), rev_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_BLK, nb, h_dim), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, h_dim), prev_bound, memory_space=pltpu.VMEM),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 1), lens_row, memory_space=pltpu.VMEM),
         ],
@@ -299,7 +303,7 @@ def _bwd_call(dout, gates, hstate, cstate, u, lens):
         ],
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(dout, gates, hstate, hstate, cstate, cstate, u, lens2)
+    )(dout, gates, hstate, h_bound, cstate, c_bound, u, lens2)
     return dx, du, db
 
 
@@ -550,8 +554,8 @@ def _bi_bwd_kernel(forget_bias,
         t = t_base + k
         if k > 0:
             h_prev_raw, c_prev_raw = hfc_ref[k - 1], cfc_ref[k - 1]
-        else:                                    # crosses the block boundary
-            h_prev_raw, c_prev_raw = hfp_ref[T_BLK - 1], cfp_ref[T_BLK - 1]
+        else:                       # block boundary: precomputed [1, nb, H] row
+            h_prev_raw, c_prev_raw = hfp_ref[0], cfp_ref[0]
         first = (t == 0).astype(jnp.float32)     # zero state before t=0
         h_prev = (1.0 - first) * h_prev_raw.astype(jnp.float32)
         c_prev = (1.0 - first) * c_prev_raw.astype(jnp.float32)
@@ -607,24 +611,31 @@ def _bi_bwd_call(dof, dob, gf, hf, cf, gb, hb, cb, uf, ub, lens, forget_bias):
     nb = min(_chunk_rows(gf.dtype), n)
     n_chunks = n // nb
     lens2 = lens.astype(jnp.int32).reshape(n, 1)
+    # precomputed block-boundary state rows (see _bwd_call): fw needs the
+    # LAST row of the previous block, bw the FIRST row of the next block
+    hf_bound = hf[T_BLK - 1::T_BLK]
+    cf_bound = cf[T_BLK - 1::T_BLK]
+    hb_bound = hb[::T_BLK]
+    cb_bound = cb[::T_BLK]
     rev_row = lambda ci, r: (n_blk - 1 - r, ci, 0)
-    prev_row = lambda ci, r: (jnp.maximum(n_blk - 2 - r, 0), ci, 0)
+    prev_bound = lambda ci, r: (jnp.maximum(n_blk - 2 - r, 0), ci, 0)
     asc_row = lambda ci, r: (r, ci, 0)
-    next_row = lambda ci, r: (jnp.minimum(r + 1, n_blk - 1), ci, 0)
+    next_bound = lambda ci, r: (jnp.minimum(r + 1, n_blk - 1), ci, 0)
     const2 = lambda ci, r: (0, 0)
     lens_row = lambda ci, r: (ci, 0)
     blk = lambda ch, m: pl.BlockSpec((T_BLK, nb, ch), m,
                                      memory_space=pltpu.VMEM)
+    row1 = lambda m: pl.BlockSpec((1, nb, h_dim), m, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bi_bwd_kernel, float(forget_bias)),
         grid=(n_chunks, n_blk),
         in_specs=[
             blk(h_dim, rev_row), blk(four_h, rev_row),
-            blk(h_dim, rev_row), blk(h_dim, prev_row),
-            blk(h_dim, rev_row), blk(h_dim, prev_row),
+            blk(h_dim, rev_row), row1(prev_bound),
+            blk(h_dim, rev_row), row1(prev_bound),
             blk(h_dim, asc_row), blk(four_h, asc_row),
-            blk(h_dim, asc_row), blk(h_dim, next_row),
-            blk(h_dim, asc_row), blk(h_dim, next_row),
+            blk(h_dim, asc_row), row1(next_bound),
+            blk(h_dim, asc_row), row1(next_bound),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((h_dim, four_h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 1), lens_row, memory_space=pltpu.VMEM),
@@ -656,7 +667,8 @@ def _bi_bwd_call(dof, dob, gf, hf, cf, gb, hb, cb, uf, ub, lens, forget_bias):
         ],
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(dof, gf, hf, hf, cf, cf, dob, gb, hb, hb, cb, cb, uf, ub, lens2)
+    )(dof, gf, hf, hf_bound, cf, cf_bound, dob, gb, hb, hb_bound,
+      cb, cb_bound, uf, ub, lens2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
