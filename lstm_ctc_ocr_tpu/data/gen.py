@@ -196,6 +196,7 @@ def generator(batch_size: int = 32, bucketed: bool = True, rng=None):
     """
     images: List[np.ndarray] = []
     labels: List[str] = []
+    failures = 0
     while True:
         try:
             im, label = generate_img(rng)
@@ -207,11 +208,19 @@ def generator(batch_size: int = 32, bucketed: bool = True, rng=None):
                 else:
                     yield group_batch(images, labels)
                 images, labels = [], []
-        except Exception as e:  # swallow-and-continue like gen.py:106-110
-            print('generator error:', e)
+            failures = 0
+        except Exception as e:  # swallow-and-continue like gen.py:106-110 —
+            # but a PERSISTENT error (bad charset, missing font) must fail
+            # fast, not spin forever: the reference's swallow ran only in
+            # disposable worker processes, this generator also runs inline
+            # on the training thread (workers=0)
+            failures += 1
+            print('generator error ({}/10):'.format(failures), e)
             import traceback
             traceback.print_exc()
             images, labels = [], []
+            if failures >= 10:
+                raise
             continue
 
 

@@ -28,7 +28,9 @@ def _render_resized(rng):
     image costs zero cv2 work per batch (resize is deterministic — same
     pixels bucket_batch would produce)."""
     im, lab = generate_img(rng)
-    return _resize_keep_aspect(im, cfg.IMG_HEIGHT), lab
+    if im.shape[0] != int(cfg.IMG_HEIGHT):   # native renderer: already there
+        im = _resize_keep_aspect(im, cfg.IMG_HEIGHT)
+    return im, lab
 
 
 class PoolSampler:

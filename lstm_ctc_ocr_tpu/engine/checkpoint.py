@@ -77,8 +77,11 @@ def save(state, output_dir: str, step: int, max_to_keep: int = 100) -> str:
     with open(tmp, 'wb') as f:
         np.savez(f, **flat)
     os.replace(tmp, fname)
-    # prune beyond max_to_keep (Saver parity, train.py:18)
-    ckpts = sorted(list_checkpoints(output_dir), key=lambda x: x[1])
+    # prune beyond max_to_keep (Saver parity, train.py:18) — but only OUR
+    # family of snapshots: a second experiment sharing output_dir under a
+    # different SNAPSHOT_PREFIX/INFIX must not have its files deleted
+    ckpts = sorted(list_checkpoints(output_dir, current_only=True),
+                   key=lambda x: x[1])
     for path, _ in ckpts[:-max_to_keep] if max_to_keep else []:
         try:
             os.remove(path)
@@ -87,12 +90,19 @@ def save(state, output_dir: str, step: int, max_to_keep: int = 100) -> str:
     return fname
 
 
-def list_checkpoints(output_dir: str):
+def list_checkpoints(output_dir: str, current_only: bool = False):
+    """(path, step) pairs; ``current_only`` restricts to the configured
+    SNAPSHOT_PREFIX/INFIX family (restore stays permissive like
+    tf.train.latest_checkpoint's directory scan)."""
+    pattern = _CKPT_RE
+    if current_only:
+        stem = re.escape(snapshot_name(0)[:-len('0.ckpt.npz')])
+        pattern = re.compile('^' + stem + r'(\d+)\.ckpt\.npz$')
     out = []
     if not os.path.isdir(output_dir):
         return out
     for f in os.listdir(output_dir):
-        m = _CKPT_RE.search(f)
+        m = pattern.search(f)
         if m:
             out.append((os.path.join(output_dir, f), int(m.group(1))))
     return out

@@ -102,8 +102,11 @@ class SummaryWriter:
 
     def __init__(self, logdir: str, flush_secs: float = 5.0):
         os.makedirs(logdir, exist_ok=True)
-        fname = 'events.out.tfevents.{:d}.{}'.format(
-            int(time.time()), socket.gethostname())
+        # pid in the name: two same-host writers in the same second (e.g. a
+        # local multi-process run) must not append-interleave one TFRecord
+        # stream — TensorBoard drops everything after the first torn record
+        fname = 'events.out.tfevents.{:d}.{}.{:d}'.format(
+            int(time.time()), socket.gethostname(), os.getpid())
         self.path = os.path.join(logdir, fname)
         self._f = open(self.path, 'ab')
         self._flush_secs = flush_secs

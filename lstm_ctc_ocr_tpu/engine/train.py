@@ -37,7 +37,6 @@ from ..data.gen import get_batch
 from ..ops.decoder import greedy_decode
 from ..utils.metrics import accuracy_calculation
 from ..utils.profiler import StepProfiler
-from ..utils.timer import Timer
 from . import checkpoint
 from .summary import SummaryWriter
 
@@ -280,13 +279,23 @@ class SolverWrapper:
                 return tuple(jnp.asarray(a) for a in arrays)
 
         # each host renders/reads only its local slice of the global batch
-        local_n = n // jax.process_count()
-        local_val = int(cfg.VAL.BATCH_SIZE) // jax.process_count()
+        n_proc = jax.process_count()
+        if n % n_proc or int(cfg.VAL.BATCH_SIZE) % n_proc:
+            raise ValueError(
+                'TRAIN.BATCH_SIZE ({}) and VAL.BATCH_SIZE ({}) must both be '
+                'divisible by the process count ({}) so every host feeds an '
+                'equal shard'.format(n, cfg.VAL.BATCH_SIZE, n_proc))
+        local_n = n // n_proc
+        local_val = int(cfg.VAL.BATCH_SIZE) // n_proc
         train_gen = self._make_train_stream(local_n)
-        val_gen = get_batch(num_workers=0, seed=cfg.RNG_SEED + 7,
-                            batch_size=local_val, bucketed=True)
+        # val seed offset per process like the train stream — otherwise
+        # every host renders the same rows and the global val batch is
+        # n_proc copies of VAL.BATCH_SIZE/n_proc unique examples
+        val_gen = get_batch(
+            num_workers=0,
+            seed=cfg.RNG_SEED + 7 + 100003 * jax.process_index(),
+            batch_size=local_val, bucketed=True)
 
-        timer = Timer()
         prof = StepProfiler()
         loss_min = float(cfg.TRAIN.LOSS_MIN_SNAPSHOT)
         val_batch = None
@@ -333,7 +342,11 @@ class SolverWrapper:
             self.writer.add_scalar('loss', loss_val, it)
 
             if it % cfg.TRAIN.DISPLAY == 0:
-                lr_now = float(lr_schedule(it))
+                # the optimizer's schedule count before step `it` is it-1
+                # (fresh: steps 1..it-1 ran; resume: snapshot at step S holds
+                # count S and restarts at it=S+1) — print the lr the update
+                # actually used, not the next boundary's value
+                lr_now = float(lr_schedule(it - 1))
                 print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
                       (it, max_iters, loss_val, lr_now), end=' ')
                 print('speed: {:.3f}s / iter'.format(step_secs), flush=True)
@@ -347,19 +360,26 @@ class SolverWrapper:
                 run_val(it)
 
         try:
+            import time as _time
+            iter_t0 = None
             for it in range(restore_iter, max_iters):
                 prof.step(it)
-                timer.tic()
+                # wall time between successive iterations IS the true s/iter:
+                # train_step returns at dispatch (async), and the wait for
+                # the device lands in process()'s lagged float() readback —
+                # timing just the dispatch would exclude all device time
+                now = _time.perf_counter()
+                step_secs = now - iter_t0 if iter_t0 is not None else 0.0
+                iter_t0 = now
                 b = next(train_gen)
                 # per-step key folds in on-device (make_train_step); a host
                 # split here would add a dispatch round-trip every iter
                 params, opt_state, total, ctc = train_step(
                     params, opt_state,
                     *put(b.image, b.label, b.label_len, b.time_step), it)
-                timer.toc(average=False)
                 if pending is not None:
-                    process(*pending, cur_it=it)
-                pending = (it, total, timer.diff)
+                    process(pending[0], pending[1], step_secs, cur_it=it)
+                pending = (it, total)
 
                 if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                     self.snapshot({'params': params, 'opt_state': opt_state},
@@ -367,7 +387,10 @@ class SolverWrapper:
                 if (it + 1) % cfg.VAL.VAL_STEP == 0:
                     run_val(it)
             if pending is not None:
-                process(*pending, cur_it=pending[0])
+                final_secs = _time.perf_counter() - iter_t0 \
+                    if iter_t0 is not None else 0.0
+                process(pending[0], pending[1], final_secs,
+                        cur_it=pending[0])
         finally:
             prof.close()
             train_gen.close()
