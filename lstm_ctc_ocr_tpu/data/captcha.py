@@ -142,6 +142,10 @@ class ImageCaptcha:
 
     def generate_image(self, chars: str, rng=None) -> Image.Image:
         """Render ``chars`` -> PIL RGB image (same surface as the captcha lib)."""
+        if not chars:
+            # the C++ twin rejects empty labels too (synth.cpp); failing
+            # here beats an IndexError deep in the layout code
+            raise ValueError('cannot render an empty label')
         rng = rng or _random
         background = _random_light_color(rng)
         im = self.create_captcha_image(chars, background, rng)

@@ -20,7 +20,6 @@ placeholders, which don't exist in functional JAX anyway).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from ..config import cfg
 from .network import Network

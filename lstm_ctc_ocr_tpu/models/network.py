@@ -339,7 +339,13 @@ class Network:
         if spec.kind == 'conv_single':
             s = in_shapes[0]
             if len(s) == 3:
-                s = s + (kw['c_i'] or 1,)
+                # 3D inputs always expand to ONE channel at apply time
+                # (layers.py:64, reference network.py:165) — an explicit
+                # c_i != 1 here would build a kernel apply can't use
+                assert kw['c_i'] in (None, 1), \
+                    'conv_single on 3D input implies c_i=1, got {}'.format(
+                        kw['c_i'])
+                s = s + (1,)
             return L.conv_single_init(rng, s, kw['k_h'], kw['k_w'], kw['c_o'],
                                       kw['s_h'], kw['s_w'], kw['c_i'],
                                       kw['bn'], kw['biased'], kw['padding'])
@@ -348,8 +354,12 @@ class Network:
                                           kw['s_h'], kw['s_w'], kw['padding'])
         if spec.kind == 'reshape_squeeze':
             n, w, h, c = in_shapes[0]
-            assert h * c == kw['d'] or w * h * c % kw['d'] == 0, \
-                'reshape_squeeze: {}x{}x{} not divisible into d={}'.format(w, h, c, kw['d'])
+            # strict: each time step must be exactly one (h, c) slice —
+            # a merely divisible product would interleave height slices
+            # into the time axis while time_step_len still counts w frames
+            assert h * c == kw['d'], \
+                'reshape_squeeze: h*c = {}*{} != d={} (time axis would ' \
+                'not align with time_step_len)'.format(h, c, kw['d'])
             return None, (n, w * h * c // kw['d'], kw['d'])
         if spec.kind == 'bi_lstm':
             return L.bi_lstm_init(rng, in_shapes[0], kw['num_hids'],
@@ -435,6 +445,10 @@ class Network:
         for spec in self.specs:
             xs = [outputs[n] for n in spec.inputs]
             if spec.kind == 'dropout' and train:
+                if rng is None:
+                    raise ValueError(
+                        'apply(train=True) on a graph with dropout '
+                        'requires an rng key')
                 rng, sub = jax.random.split(rng)
                 ctx = dict(ctx, rng=sub)
             outputs[spec.name] = self._apply_layer(spec, params.get(spec.name),
@@ -528,8 +542,14 @@ class Network:
         the reference's REGULARIZATION_LOSSES collection (network.py:630-637,
         660-662): wd * sum(w^2) / 2 per regularized tensor. Entries carry a
         per-tensor coefficient (None = cfg.TRAIN.WEIGHT_DECAY) because the
-        legacy scale layers use their own fixed rates."""
+        legacy scale layers use their own fixed rates.
+
+        WEIGHT_DECAY <= 0 disables the WHOLE collection — the reference
+        gates adding REGULARIZATION_LOSSES on it (network.py:658-662),
+        including the fixed-rate scale penalties."""
         wd = cfg.TRAIN.WEIGHT_DECAY
+        if wd <= 0:
+            return jnp.float32(0.0)
         total = jnp.float32(0.0)
         for layer_name, path, coeff in self.reg_paths:
             w = params[layer_name]

@@ -50,6 +50,14 @@ int ctc_loss_grad(const float* logits, const int32_t* labels,
   for (int n = 0; n < N; ++n) {
     const int t_len = logit_lens[n];
     const int l_len = label_lens[n];
+    // validate before touching any derived index: an out-of-range length
+    // or label id would read past logits rows / write past the class
+    // vector (silent heap corruption in the conformance oracle)
+    if (t_len < 0 || t_len > T || l_len < 0 || l_len > L) return 1;
+    for (int i = 0; i < l_len; ++i) {
+      const int32_t v = labels[(size_t)n * L + i];
+      if (v < 0 || v >= C) return 2;
+    }
     const int S = 2 * l_len + 1;
     const float* lg = logits + (size_t)n * T * C;
     float* gr = grads ? grads + (size_t)n * T * C : nullptr;

@@ -77,3 +77,21 @@ def test_cpp_reference_long_labels():
     # f32 scan over 90 frames vs the C++ double path: ~1e-4 abs is pure
     # accumulation rounding (losses themselves agree to 1e-5)
     np.testing.assert_allclose(our_grad, ref_grad, rtol=1e-4, atol=1e-4)
+
+
+def test_native_rejects_out_of_range_labels():
+    """Out-of-range label ids / lengths must fail loudly, not corrupt heap."""
+    import pytest
+    from lstm_ctc_ocr_tpu.native.ctc_ref import ctc_loss_grad
+
+    logits = np.zeros((1, 5, 4), np.float32)
+    good = np.array([[1, 2]], np.int32)
+    with pytest.raises(AssertionError):
+        ctc_loss_grad(logits, np.array([[1, 4]], np.int32),   # id == C
+                      np.array([2], np.int32), np.array([5], np.int32))
+    with pytest.raises(AssertionError):
+        ctc_loss_grad(logits, good, np.array([3], np.int32),  # l_len > L
+                      np.array([5], np.int32))
+    with pytest.raises(AssertionError):
+        ctc_loss_grad(logits, good, np.array([2], np.int32),
+                      np.array([9], np.int32))                # t_len > T
