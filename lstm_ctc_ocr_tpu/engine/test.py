@@ -116,7 +116,17 @@ class SolverWrapper:
             params = checkpoint.restore({'params': params}, path)['params']
             print('done (step {})'.format(step))
         _, decode_maps = get_encode_decode_dict()
-        files = sorted(os.listdir(testDir))
+        from ..data.records import parse_label_from_filename
+        all_entries = sorted(os.listdir(testDir))
+        files = [f for f in all_entries
+                 if parse_label_from_filename(f) is not None]
+        skipped = len(all_entries) - len(files)
+        if skipped:
+            # a stray labels.txt/.DS_Store/subdir must not abort an eval
+            # run (the batched path would die in the up-front grouping
+            # scan before producing any results)
+            print('skipping {} non-dataset entries in {}'.format(
+                skipped, testDir))
         batch = int(cfg.TEST.BATCH_SIZE)
 
         # like training (train.py:_select_mesh), batched eval scales over
@@ -157,19 +167,24 @@ class SolverWrapper:
         timer = Timer()
         total = correct = 0
         latencies: List[float] = []
+        import time as _time
         for fname in files:
             timer.tic()
             total += 1
             img = load_image(os.path.join(testDir, fname))
             image, time_step = prepare_single(img)
+            td = _time.perf_counter()
             res_ids = np.asarray(decode_step(params, jnp.asarray(image),
                                              jnp.asarray(time_step)))[0]
+            # p50 counts the DECODE only, same definition as the batched
+            # path; the printed per-file cost stays whole-body like the
+            # reference's Timer (test.py:58,85-86)
+            latencies.append(_time.perf_counter() - td)
             res = decode_ids(res_ids, decode_maps)
             org = fname.split('.')[0].split('_')[1]
             if org == res:
                 correct += 1
             diff = timer.toc(average=False)
-            latencies.append(diff)
             print('{} cost time: {:.3f},\n    res: {}'.format(fname, diff, res))
         acc = correct / max(total, 1)
         p50 = float(np.percentile(latencies, 50)) if latencies else 0.0
@@ -203,9 +218,10 @@ class SolverWrapper:
 
         total = correct = 0
         latencies: List[float] = []
-        chunk_times: List[tuple] = []       # (n_images, decode_seconds)
+        chunk_times: List[tuple] = []   # (n_images, decode_seconds, is_warm)
         t0 = _time.perf_counter()
         for width, names in sorted(by_bucket.items()):
+            bucket_first = True         # each bucket's first call compiles
             for i in range(0, len(names), batch):
                 chunk = names[i:i + batch]
                 loaded = []
@@ -220,11 +236,16 @@ class SolverWrapper:
                                  + [loaded[-1][1]] * pad, np.int32)
                 tb = _time.perf_counter()
                 dec = np.asarray(decode_step(params, *put(images, steps)))
-                chunk_times.append((len(chunk), _time.perf_counter() - tb))
+                decode_secs = _time.perf_counter() - tb
+                chunk_times.append((len(chunk), decode_secs,
+                                    not bucket_first))
+                bucket_first = False
                 if os.environ.get('LSTM_EVAL_DEBUG'):
-                    print('chunk decode: {:.3f}s'.format(
-                        chunk_times[-1][1]), flush=True)
-                per_image = (_time.perf_counter() - tb) / batch
+                    print('chunk decode: {:.3f}s'.format(decode_secs),
+                          flush=True)
+                # amortized: the device computes the full padded batch
+                # regardless of how many rows are real
+                per_image = decode_secs / batch
                 latencies.extend([per_image] * len(chunk))
                 for fname, ids in zip(chunk, dec):
                     total += 1
@@ -240,15 +261,18 @@ class SolverWrapper:
         print('p50 decode latency: {:.4f}s (amortized, batch {})'.format(
             p50, batch))
         print('batched decode: {:.1f} images/sec total'.format(ips))
-        # the first decode call carries XLA compilation (and, over the axon
-        # tunnel, an intermittent multi-minute first-dispatch stall); the
-        # steady-state rate is what repeated/serving eval actually sustains
-        if len(chunk_times) > 1:
-            warm_n = sum(n for n, _ in chunk_times[1:])
-            warm_dt = sum(s for _, s in chunk_times[1:])
+        # EACH BUCKET's first decode call carries an XLA compilation (and,
+        # over the axon tunnel, an intermittent multi-minute first-dispatch
+        # stall); the steady-state rate over the warm chunks is what
+        # repeated/serving eval actually sustains
+        warm = [(k, s) for k, s, is_warm in chunk_times if is_warm]
+        if warm:
+            warm_n = sum(k for k, _ in warm)
+            warm_dt = sum(s for _, s in warm)
             if warm_dt > 0:
                 print('batched decode: {:.1f} images/sec steady-state '
-                      '(excl. first-call compile)'.format(warm_n / warm_dt))
+                      '(excl. each bucket\'s compile call)'.format(
+                          warm_n / warm_dt))
         return acc, p50
 
 

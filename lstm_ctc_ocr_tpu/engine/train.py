@@ -84,7 +84,13 @@ def make_loss_fn(net, dtype):
                         train=True, rng=rng, dtype=dtype)
         logits = jnp.transpose(out['logits'], (1, 0, 2))   # [N, T, C]
         losses = ctc_loss_impl(logits, label, label_len, time_step)
-        ctc = jnp.mean(losses)                             # train.py:... reduce_mean
+        # infeasible alignments (logit_len too short for the label) carry
+        # the 1e30 sentinel and a zero gradient; average over FEASIBLE
+        # examples only so one degenerate sample can't blow up the loss
+        # scalar and disable the low-loss snapshot trigger for the run
+        feasible = losses < 1e29
+        n_ok = jnp.maximum(jnp.sum(feasible), 1)
+        ctc = jnp.sum(jnp.where(feasible, losses, 0.0)) / n_ok
         total = ctc + net.regularization_loss(params)
         return total, ctc
     return loss_fn

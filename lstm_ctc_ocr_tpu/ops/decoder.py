@@ -34,10 +34,11 @@ def greedy_decode(logits: jnp.ndarray, logit_lens: jnp.ndarray,
     prev = jnp.concatenate(
         [jnp.full((n, 1), -1, jnp.int32), ids[:, :-1]], axis=1)
     keep = (ids != blank) & (ids != prev) & in_range             # [N, T]
-    # left-pack kept ids into a dense 0-padded matrix with a scatter
+    # left-pack kept ids into a dense 0-padded matrix with a scatter;
+    # dropped frames target column t_len, which is out of bounds for the
+    # [N, t_len] output so mode='drop' discards them
     pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1         # target slot
-    pos = jnp.where(keep, pos, t_len)                            # drop -> OOB
-    out = jnp.zeros((n, t_len + 1), jnp.int32)
+    pos = jnp.where(keep, pos, t_len)
+    out = jnp.zeros((n, t_len), jnp.int32)
     batch_idx = jax.lax.broadcasted_iota(jnp.int32, (n, t_len), 0)
-    out = out.at[batch_idx, pos].set(ids, mode='drop')
-    return out[:, :t_len]
+    return out.at[batch_idx, pos].set(ids, mode='drop')
