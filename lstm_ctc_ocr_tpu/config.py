@@ -184,10 +184,17 @@ def resolve_font(font=None):
         if osp.isfile(p):
             return osp.abspath(p)
         tried.append(p)
+    # past here the EXPLICITLY configured font is missing — say so loudly
+    # before substituting: font identity materially changes accuracy (the
+    # sans 'l'/'I' ambiguity alone is ~5 points), and a silent swap makes
+    # results incomparable (e.g. a migrated lstm.yml keeping the
+    # reference's fonts/Ubuntu-M.ttf, which this repo does not ship)
+    print('WARNING: configured FONT {!r} not found; falling back to a '
+          'bundled/system font'.format(str(font)))
     bundled = sorted(glob.glob(osp.join(__C.ROOT_DIR, 'fonts', '*.ttf')))
     serif = [p for p in bundled if 'Serif' in osp.basename(p)]
-    for p in serif + bundled:
-        return p
+    if serif or bundled:
+        return (serif + bundled)[0]
     tried.append(osp.join(__C.ROOT_DIR, 'fonts', '*.ttf'))
     for p in ['/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf',
               '/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf']:

@@ -85,23 +85,31 @@ class RecordsWriter:
         self.close()
 
 
+def iter_labeled_images(img_dir: str):
+    """Yield (label, grayscale uint8 image) for every ``{idx}_{label}.png``
+    in ``img_dir`` — the ONE directory-walk used by the records writer and
+    the TFRecord exporter, so their decode semantics cannot drift."""
+    import cv2
+    for fname in sorted(os.listdir(img_dir)):
+        label = parse_label_from_filename(fname)
+        if label is None:
+            continue
+        img = cv2.imread(os.path.join(img_dir, fname), 0)
+        if img is None:
+            continue
+        yield label, img.astype(np.uint8)
+
+
 def write_image_annotation_pairs_to_records(img_dir: str, out_path: str) -> int:
     """Walk ``img_dir``, parse filename labels, write a records file.
 
     Reference parity: write_image_annotation_pairs_to_tfrecord
     (tf_records.py:36-90). Returns the number of records written.
     """
-    import cv2
     n = 0
     with RecordsWriter(out_path) as w:
-        for fname in sorted(os.listdir(img_dir)):
-            label = parse_label_from_filename(fname)
-            if label is None:
-                continue
-            img = cv2.imread(os.path.join(img_dir, fname), 0)
-            if img is None:
-                continue
-            w.add(label, img.astype(np.uint8))
+        for label, img in iter_labeled_images(img_dir):
+            w.add(label, img)
             n += 1
     return n
 

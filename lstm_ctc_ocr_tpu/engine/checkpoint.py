@@ -135,6 +135,18 @@ def load_npy_pretrained(params, path: str, ignore_missing: bool = False):
     def assign(dst, src, prefix):
         for name, val in src.items():
             where = prefix + '/' + name if prefix else name
+            # list-valued nodes (e.g. the stacked `lstm` layer's cells,
+            # layers.py:154) round-trip through the converter as digit keys
+            if isinstance(dst, (list, tuple)) and str(name).isdigit():
+                idx = int(name)
+                if idx >= len(dst):
+                    if ignore_missing:
+                        continue
+                    raise KeyError(
+                        'pretrained var not in model: {}'.format(where))
+                if isinstance(val, dict):
+                    assign(dst[idx], val, where)
+                    continue
             missing = not (hasattr(dst, '__contains__') and name in dst)
             if missing:
                 if ignore_missing:

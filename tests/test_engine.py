@@ -147,3 +147,34 @@ def test_npy_pretrained_roundtrip(tmp_path):
         checkpoint.load_npy_pretrained(fresh, str(tmp_path / 'bad.npy'))
     checkpoint.load_npy_pretrained(fresh, str(tmp_path / 'bad.npy'),
                                    ignore_missing=True)
+
+
+def test_npy_pretrained_list_nodes_roundtrip(tmp_path):
+    """Converter digit keys ('cells/0/...') must land back in list-valued
+    pytree nodes (the stacked `lstm` DSL layer stores cells as a list)."""
+    import numpy as np
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+
+    params = {'logits': {'cells': [{'kernel': np.ones((4, 8), np.float32)},
+                                   {'kernel': np.full((8, 8), 2.0,
+                                                      np.float32)}],
+                         'weights': np.zeros((2, 3), np.float32)}}
+    ck = str(tmp_path / 'm_iter_5.ckpt.npz')
+    checkpoint.save({'params': params}, str(tmp_path), step=5)
+
+    import importlib
+    import sys
+    sys.path.insert(0, 'tools')
+    conv = importlib.import_module('convert_ckpt2npy')
+    out = str(tmp_path / 'm.npy')
+    found = checkpoint.latest_checkpoint(str(tmp_path))
+    conv.convert(found[0], out)
+
+    fresh = {'logits': {'cells': [{'kernel': np.zeros((4, 8), np.float32)},
+                                  {'kernel': np.zeros((8, 8), np.float32)}],
+                        'weights': np.ones((2, 3), np.float32)}}
+    loaded = checkpoint.load_npy_pretrained(fresh, out)
+    np.testing.assert_array_equal(loaded['logits']['cells'][1]['kernel'],
+                                  params['logits']['cells'][1]['kernel'])
+    np.testing.assert_array_equal(loaded['logits']['weights'],
+                                  params['logits']['weights'])

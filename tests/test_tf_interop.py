@@ -111,18 +111,24 @@ def test_export_from_image_dir(tmp_path):
 
 def _reference_style_checkpoint(path):
     """Create a TF1-style checkpoint with the reference CRNN's variable
-    names (conv scopes network.py:167-170, BatchNorm :177, bidirectional_rnn
-    cells :104-107, projection :123-125) + Adam slots, random values."""
+    names (conv scopes network.py:167-170, BatchNorm :176-178 — contrib
+    batch_norm(scope=name) nested in variable_scope(name), so the scope
+    appears TWICE: conv4_1/conv4_1/gamma — bidirectional_rnn cells
+    :104-107, projection :123-125) + Adam slots, random values. conv4_2
+    carries the BatchNorm default-scope spelling to cover the fallback."""
     rng = np.random.RandomState(42)
     shapes = {
         'conv1/weights': (3, 3, 1, 8),
         'conv1/biases': (8,),
         'conv4_1/weights': (3, 3, 8, 16),
         'conv4_1/biases': (16,),
-        'conv4_1/BatchNorm/gamma': (16,),
-        'conv4_1/BatchNorm/beta': (16,),
-        'conv4_1/BatchNorm/moving_mean': (16,),
-        'conv4_1/BatchNorm/moving_variance': (16,),
+        'conv4_1/conv4_1/gamma': (16,),
+        'conv4_1/conv4_1/beta': (16,),
+        'conv4_1/conv4_1/moving_mean': (16,),
+        'conv4_1/conv4_1/moving_variance': (16,),
+        'conv4_2/weights': (3, 3, 16, 16),
+        'conv4_2/BatchNorm/gamma': (16,),
+        'conv4_2/BatchNorm/beta': (16,),
         'logits/bidirectional_rnn/fw/lstm_cell/kernel': (24, 32),
         'logits/bidirectional_rnn/fw/lstm_cell/bias': (32,),
         'logits/bidirectional_rnn/bw/lstm_cell/kernel': (24, 32),
@@ -158,9 +164,12 @@ def test_ckpt_import_maps_reference_names(tmp_path):
     np.testing.assert_array_equal(tree['conv1']['biases'],
                                   values['conv1/biases'])
     np.testing.assert_array_equal(tree['conv4_1']['bn_gamma'],
-                                  values['conv4_1/BatchNorm/gamma'])
+                                  values['conv4_1/conv4_1/gamma'])
     np.testing.assert_array_equal(tree['conv4_1']['bn_beta'],
-                                  values['conv4_1/BatchNorm/beta'])
+                                  values['conv4_1/conv4_1/beta'])
+    # default-scope spelling (scope=None contrib graphs) still maps
+    np.testing.assert_array_equal(tree['conv4_2']['bn_gamma'],
+                                  values['conv4_2/BatchNorm/gamma'])
     for d in ('fw', 'bw'):
         np.testing.assert_array_equal(
             tree['logits']['cells'][d]['kernel'],
@@ -194,7 +203,7 @@ def test_ckpt_import_feeds_pre_train(tmp_path):
     names = {
         'conv1/weights': np.shape(params['conv1']['kernel']),
         'conv1/biases': np.shape(params['conv1']['biases']),
-        'conv4_1/BatchNorm/gamma': np.shape(params['conv4_1']['bn_gamma']),
+        'conv4_1/conv4_1/gamma': np.shape(params['conv4_1']['bn_gamma']),
         'logits/bidirectional_rnn/fw/lstm_cell/kernel':
             np.shape(params['logits']['cells']['fw']['kernel']),
         'logits/weights': np.shape(params['logits']['weights']),

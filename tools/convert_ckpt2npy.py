@@ -9,11 +9,9 @@ loadable with ``np.load(path, allow_pickle=True).item()``.
 
 import argparse
 import os
-import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def convert(ckpt_path: str, out_path: str) -> dict:

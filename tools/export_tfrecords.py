@@ -38,15 +38,12 @@ def iter_dataset(src):
     """Yield (label str, grayscale-or-RGB uint8 image) from a records file
     or an image directory."""
     from lstm_ctc_ocr_tpu.data.records import (
-        RecordsDataset, parse_label_from_filename)
+        RecordsDataset, iter_labeled_images)
     if os.path.isdir(src):
-        from PIL import Image
-        for fname in sorted(os.listdir(src)):
-            label = parse_label_from_filename(fname)
-            if label is None:
-                continue
-            with Image.open(os.path.join(src, fname)) as im:
-                yield label, np.asarray(im.convert('L'), np.uint8)
+        # shared walk with the records writer (data/records.py) so
+        # directory decode semantics cannot drift between the two paths
+        for pair in iter_labeled_images(src):
+            yield pair
     else:
         ds = RecordsDataset(src)
         for i in range(len(ds)):
@@ -90,6 +87,11 @@ def export_tfrecords(src: str, out_path: str) -> int:
             if len(label) > cfg.MAX_CHAR_LEN:
                 print('skipping {}-char label {!r}: exceeds MAX_CHAR_LEN={}'
                       .format(len(label), label, cfg.MAX_CHAR_LEN))
+                continue
+            bad = [c for c in label if c not in encode_maps]
+            if bad:
+                print('skipping label {!r}: chars {} not in CHARSET'
+                      .format(label, bad))
                 continue
             ex = make_sequence_example(label, img, encode_maps,
                                        cfg.MAX_CHAR_LEN, cfg.IMG_SHAPE[0])

@@ -12,8 +12,13 @@ Name mapping (reference TF1 graph -> this framework's params pytree):
 
     {conv}/weights                                   -> {conv}/kernel   [kh,kw,ci,co], same HWIO layout
     {conv}/biases                                    -> {conv}/biases
-    {conv}/BatchNorm/gamma|beta                      -> {conv}/bn_gamma|bn_beta
-    {conv}/BatchNorm/moving_mean|moving_variance     -> skipped: the reference runs batch_norm with
+    {conv}/{conv}/gamma|beta                         -> {conv}/bn_gamma|bn_beta
+                                                        (contrib batch_norm(scope=name) nested inside
+                                                        variable_scope(name), network.py:167,176-178 —
+                                                        the scope name appears TWICE; a {conv}/BatchNorm/...
+                                                        spelling, contrib's scope=None default, is also
+                                                        accepted)
+    .../moving_mean|moving_variance                  -> skipped: the reference runs batch_norm with
                                                         is_training=True even at eval (network.py:177-178),
                                                         so moving stats never enter its forward pass either
     {scope}/bidirectional_rnn/fw|bw/lstm_cell/kernel -> {scope}/cells/fw|bw/kernel  [d+h, 4h], gate order
@@ -51,8 +56,15 @@ def map_variable(name, shape):
     if any(m in name for m in _OPT_SLOT_MARKERS):
         return None, 'optimizer slot'
     parts = name.split('/')
-    if 'BatchNorm' in parts:
-        scope = parts[parts.index('BatchNorm') - 1]
+    # contrib batch_norm(scope=name) inside variable_scope(name) doubles the
+    # scope: conv4_1/conv4_1/gamma (the reference's actual spelling); also
+    # accept the BatchNorm default-scope spelling for robustness
+    is_bn = ('BatchNorm' in parts) or (
+        len(parts) == 3 and parts[0] == parts[1]
+        and parts[-1] in ('gamma', 'beta', 'moving_mean', 'moving_variance'))
+    if is_bn:
+        scope = parts[parts.index('BatchNorm') - 1] if 'BatchNorm' in parts \
+            else parts[0]
         leaf = parts[-1]
         if leaf == 'gamma':
             return (scope, 'bn_gamma'), None

@@ -47,9 +47,12 @@ def decode_example(ex, decode_maps):
     img = np.frombuffer(raw, np.uint8).reshape(
         (h, w) if c == 1 else (h, w, c))
     if img.ndim == 3:       # reference stores RGB (tf_records.py:53,69)
-        img = np.round(
-            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-        ).astype(np.uint8)
+        if img.shape[2] == 2:          # grayscale+alpha (LA png): luma channel
+            img = np.ascontiguousarray(img[..., 0])
+        else:                          # RGB / RGBA (alpha ignored)
+            img = np.round(
+                0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2]).astype(np.uint8)
     ids = [int(v) for f in ex.feature_lists.feature_list['label'].feature
            for v in f.int64_list.value]
     label = ''.join(decode_maps[i] for i in ids[:label_len])
@@ -58,14 +61,33 @@ def decode_example(ex, decode_maps):
 
 def import_tfrecords(tfrecord_path: str, out_path: str) -> int:
     from lstm_ctc_ocr_tpu.config import get_encode_decode_dict
+    from lstm_ctc_ocr_tpu.data.gen import max_label_len
     from lstm_ctc_ocr_tpu.data.records import RecordsWriter
     _, decode_maps = get_encode_decode_dict()
-    n = 0
+    l_max = max_label_len()
+    n = i = skipped = 0
     with RecordsWriter(out_path) as w:
-        for ex in iter_sequence_examples(tfrecord_path):
-            label, img = decode_example(ex, decode_maps)
+        for i, ex in enumerate(iter_sequence_examples(tfrecord_path), 1):
+            # validate NOW, not deep inside a training run hours later: the
+            # reference writer happily emits labels longer than maxLen
+            # unpadded (tf_records.py:56-57) and any filename characters
+            try:
+                label, img = decode_example(ex, decode_maps)
+            except KeyError as e:
+                skipped += 1
+                print('skipping record {}: label id {} not in charset'
+                      .format(i, e))
+                continue
+            if not label or len(label) > l_max:
+                skipped += 1
+                print('skipping record {}: {}-char label {!r} outside '
+                      '(1..MAX_CHAR_LEN={})'.format(i, len(label), label,
+                                                    l_max))
+                continue
             w.add(label, img)
             n += 1
+    if skipped:
+        print('skipped {} of {} records'.format(skipped, i))
     return n
 
 
