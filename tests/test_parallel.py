@@ -181,6 +181,9 @@ def test_eval_driver_dp_matches_single_device(f32_cfg, tmp_path):
         img, label = generate_img(rng)
         PILImage.fromarray(img).save(
             str(val_dir / '{:08d}_{}.png'.format(i, label)))
+    # stray non-dataset entries must be skipped, not abort the eval
+    (val_dir / 'labels.txt').write_text('not an image')
+    (val_dir / 'subdir').mkdir()
 
     # a checkpoint to restore (random init is fine: parity, not accuracy)
     out_dir = tmp_path / 'out'
