@@ -236,15 +236,17 @@ if __name__ == '__main__':
     try:
         base = get_baseline(args.batch, args.width, refresh=args.refresh_baseline)
     except Exception as e:
-        print('baseline measurement failed ({}); using cached or 1.0'.format(e),
-              file=sys.stderr)
-        base = 1.0
+        print('baseline measurement failed ({}); vs_baseline -> null'
+              .format(e), file=sys.stderr)
+        base = None
 
     result = {
         'metric': 'captcha images/sec/chip (train)',
         'value': round(ips, 2),
         'unit': 'images/sec/chip',
-        'vs_baseline': round(ips / base, 2),
+        # null, never a fake 1.0 divisor: a raw img/s masquerading as a
+        # ratio would claim five orders of magnitude over the >=10x target
+        'vs_baseline': round(ips / base, 2) if base else None,
         'device_kind': device_kind,
     }
     if flops_per_step is not None:

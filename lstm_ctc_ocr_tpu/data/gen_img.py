@@ -10,6 +10,7 @@ we size the pool by core count and fall back to inline on 1-core hosts.
 
 from __future__ import annotations
 
+import functools
 import os
 import random
 from multiprocessing import Pool, cpu_count
@@ -17,30 +18,30 @@ from multiprocessing import Pool, cpu_count
 from ..config import cfg
 from .gen import _renderer, gen_rand
 
-_out_dir = './data/val'
 
-
-def generate_one(ind: int) -> str:
+def generate_one(ind: int, out_dir: str = './data/val') -> str:
+    # out_dir travels as a pickled argument, NOT module state: under the
+    # spawn start method workers re-import this module fresh, so a global
+    # set in the parent would silently revert to its default
     rng = random.Random(ind * 9176 + 11)
     chars = gen_rand(rng)
     renderer = _renderer()     # honours cfg.RENDERER (captcha or scene)
-    path = os.path.join(_out_dir, '{:08d}_{}.png'.format(ind, chars))
+    path = os.path.join(out_dir, '{:08d}_{}.png'.format(ind, chars))
     renderer.write(chars, path, rng=rng)
     return path
 
 
 def run(num: int, out_dir: str = './data/val', workers: int | None = None) -> None:
-    global _out_dir
-    _out_dir = out_dir
     os.makedirs(out_dir, exist_ok=True)
     if workers is None:
         workers = max(cpu_count() - 1, 0)
+    task = functools.partial(generate_one, out_dir=out_dir)
     if workers <= 1:
         for i in range(num):
-            generate_one(i)
+            task(i)
     else:
         with Pool(workers) as pool:
-            pool.map(generate_one, range(num))
+            pool.map(task, range(num))
     print('wrote {} images to {}'.format(num, out_dir))
 
 

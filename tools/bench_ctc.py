@@ -63,28 +63,34 @@ def main():
         size=(args.batch,)).astype(np.int32))
     logit_lens = jnp.full((args.batch,), args.frames, jnp.int32)
 
+    # labels/lens are TRACED args (not closure constants): in the train step
+    # they are runtime inputs, so constant-folding the label-dependent prep
+    # (extended_labels, transition masks) here would understate real cost
     impls = {'scan': ctc.ctc_loss, 'pallas': ctc_pallas.ctc_loss_pallas}
     for name, impl in impls.items():
-        fwd = jax.jit(lambda lg, f=impl: jnp.mean(
-            f(lg, labels, label_lens, logit_lens)))
-        bwd = jax.jit(jax.grad(lambda lg, f=impl: jnp.mean(
-            f(lg, labels, label_lens, logit_lens))))
+        fwd = jax.jit(lambda lg, lb, ll, tl, f=impl: jnp.mean(
+            f(lg, lb, ll, tl)))
+        bwd = jax.jit(jax.grad(lambda lg, lb, ll, tl, f=impl: jnp.mean(
+            f(lg, lb, ll, tl))))
         print(json.dumps({
             'impl': name,
-            'fwd_ms': round(timed(fwd, logits, windows=args.windows,
+            'fwd_ms': round(timed(fwd, logits, labels, label_lens,
+                                  logit_lens, windows=args.windows,
                                   calls=args.calls), 3),
-            'fwd_bwd_ms': round(timed(bwd, logits, windows=args.windows,
+            'fwd_bwd_ms': round(timed(bwd, logits, labels, label_lens,
+                                      logit_lens, windows=args.windows,
                                       calls=args.calls), 3)}), flush=True)
 
     # pieces of the pallas path
     logp = jax.nn.log_softmax(logits, axis=-1)
-    prep = jax.jit(lambda lp: ctc_pallas._pad_args(
-        lp, labels, label_lens, logit_lens)[0])
+    prep = jax.jit(lambda lp, lb, ll, tl: ctc_pallas._pad_args(
+        lp, lb, ll, tl)[:4])
     g, skip, valid, final, ext, n_pad = ctc_pallas._pad_args(
         logp, labels, label_lens, logit_lens)
     kern = jax.jit(lambda *a: ctc_pallas._run_forward(*a)[0])
     print(json.dumps({'piece': 'xla_prep(pad+gather+masks)',
-                      'ms': round(timed(prep, logp, windows=args.windows,
+                      'ms': round(timed(prep, logp, labels, label_lens,
+                                        logit_lens, windows=args.windows,
                                         calls=args.calls), 3)}), flush=True)
     print(json.dumps({'piece': 'pallas_fwd_kernel_only',
                       'ms': round(timed(kern, g, skip, valid, final,

@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(fn, *args, windows=7, calls=10):
-    fn(*args)  # compile
+    out = fn(*args)  # compile
+    # readback so the warmup execution can't spill into window 1 (dispatch
+    # returns at enqueue over the tunnel; see bench.py)
+    float(np.asarray(out).ravel()[0])
     rates = []
     for _ in range(windows):
         t0 = time.perf_counter()

@@ -25,7 +25,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAKS = {'TPU v5 lite': 197e12, 'cpu': None}
+# peak-FLOPs lookup lives in bench.py (full table + prefix matching)
 
 
 def timed(fn, args, windows=9, calls=50):
@@ -89,9 +89,8 @@ def main():
     batch, width = args.batch, args.width
     cfg.TRAIN.BATCH_SIZE = batch
     dev = jax.devices()[0].device_kind
-    peak = PEAKS.get(dev)
-
-    from bench import build_batches
+    from bench import build_batches, peak_flops_for
+    peak = peak_flops_for(dev)
     b = build_batches(batch, width, n_batches=1)[0]
     image, label, label_len, time_step = (
         jnp.asarray(b.image), jnp.asarray(b.label),
@@ -108,32 +107,33 @@ def main():
     loss_fn = make_loss_fn(net, dt)
     rng = jax.random.PRNGKey(1)
 
-    fwd = jax.jit(lambda p: loss_fn(p, image, label, label_len,
-                                    time_step, rng)[0])
-    model_fwd = jax.jit(lambda p: net.apply(
-        p, {'data': image, 'time_step_len': time_step},
+    # labels/lens are TRACED args everywhere below (not closure constants):
+    # the train step takes them at runtime, so letting XLA constant-fold the
+    # label-dependent CTC prep here would misattribute its cost
+    fwd = jax.jit(lambda p, lb, ll, ts: loss_fn(p, image, lb, ll,
+                                                ts, rng)[0])
+    model_fwd = jax.jit(lambda p, ts: net.apply(
+        p, {'data': image, 'time_step_len': ts},
         train=True, rng=rng, dtype=dt)['logits'])
 
     t_frames = width // 4 - 1
     logits = jnp.asarray(np.random.RandomState(0)
                          .randn(batch, t_frames, 64).astype(np.float32))
     ctc_impl = select_ctc_loss()
-    ctc_only = jax.jit(lambda lg: jnp.mean(
-        ctc_impl(lg, label, label_len, time_step)))
-    ctc_grad = jax.jit(jax.grad(lambda lg: jnp.mean(
-        ctc_impl(lg, label, label_len, time_step))))
-
-    # full step needs fresh donatable buffers per call; keep copies
-    def run_step(p, o):
-        return step(p, o, image, label, label_len, time_step, 0)
+    ctc_only = jax.jit(lambda lg, lb, ll, ts: jnp.mean(
+        ctc_impl(lg, lb, ll, ts)))
+    ctc_grad = jax.jit(jax.grad(lambda lg, lb, ll, ts: jnp.mean(
+        ctc_impl(lg, lb, ll, ts))))
 
     rows = []
     # non-donating variants first (stable args)
     for name, fn, fargs in [
-            ('fwd_loss (model+ctc)', fwd, (params,)),
-            ('model_fwd (cnn+bilstm+proj)', model_fwd, (params,)),
-            ('ctc_fwd', ctc_only, (logits,)),
-            ('ctc_fwd_bwd', ctc_grad, (logits,)),
+            ('fwd_loss (model+ctc)', fwd,
+             (params, label, label_len, time_step)),
+            ('model_fwd (cnn+bilstm+proj)', model_fwd, (params, time_step)),
+            ('ctc_fwd', ctc_only, (logits, label, label_len, time_step)),
+            ('ctc_fwd_bwd', ctc_grad,
+             (logits, label, label_len, time_step)),
     ]:
         ms = timed(fn, fargs, windows=args.windows, calls=args.calls)
         rows.append(report(name, ms, flops_of(fn, fargs), peak))
