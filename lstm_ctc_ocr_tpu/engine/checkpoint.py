@@ -56,6 +56,12 @@ def unflatten_like(template, flat: Dict[str, np.ndarray]):
         if tuple(arr.shape) != tuple(np.shape(leaf)):
             raise ValueError('shape mismatch for {}: ckpt {} vs model {}'
                              .format(key, arr.shape, np.shape(leaf)))
+        # released checkpoints store float leaves in f16 (save_release);
+        # the model template's dtype wins so compute dtypes are unchanged
+        want = np.asarray(leaf).dtype
+        if arr.dtype != want and np.issubdtype(arr.dtype, np.floating) \
+                and np.issubdtype(want, np.floating):
+            arr = arr.astype(want)
         new_leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
@@ -179,3 +185,60 @@ def restore_latest(template, output_dir: str):
         return None, 0
     path, step = found
     return restore(template, path), step
+
+
+# --- released (shipped) checkpoints ------------------------------------------
+#
+# Training snapshots live in output/<EXP_DIR>/ (a runtime artifact dir,
+# .gitignored like the reference's output/). Released weights — the
+# params-only checkpoints backing the README results table — live in
+# checkpoints/<EXP_DIR>/ and ARE tracked in git, so a fresh clone can run
+# ./test.sh against the shipped models without retraining. Eval and export
+# fall back to the release dir when output/ has no snapshot; training
+# resume deliberately does not (a release has no optimizer state — use
+# --pre_train for warm starts).
+
+def release_dir(output_dir: str) -> str:
+    """checkpoints/<EXP_DIR> sibling of an output/<EXP_DIR> directory."""
+    parent, exp = os.path.split(os.path.normpath(output_dir))
+    root = os.path.dirname(parent) if os.path.basename(parent) == 'output' \
+        else parent
+    return os.path.join(root, 'checkpoints', exp)
+
+
+def latest_eval_checkpoint(output_dir: str) -> Optional[Tuple[str, int]]:
+    """Newest snapshot for EVAL: output/<EXP_DIR>/ first, else the tracked
+    release in checkpoints/<EXP_DIR>/."""
+    found = latest_checkpoint(output_dir)
+    if found is None:
+        found = latest_checkpoint(release_dir(output_dir))
+    return found
+
+
+def save_release(params, output_dir: str, step: int,
+                 dtype: str = 'float16') -> str:
+    """Write a params-only release checkpoint to checkpoints/<EXP_DIR>/.
+
+    Float leaves are stored in ``dtype`` (default f16 — halves the tracked
+    size; weights of this model fit f16's range and eval accuracy is
+    unchanged, which tools/release_ckpt.py verifies by re-evaluating the
+    released file). Leaves whose magnitude exceeds f16 range stay f32.
+    """
+    rel_dir = release_dir(output_dir)
+    os.makedirs(rel_dir, exist_ok=True)
+    flat = flatten_state({'params': params})
+    out = {}
+    for k, v in flat.items():
+        if dtype and v.dtype == np.float32:
+            if not np.all(np.isfinite(v)) or np.abs(v).max() >= 6e4:
+                out[k] = v
+            else:
+                out[k] = v.astype(dtype)
+        else:
+            out[k] = v
+    fname = os.path.join(rel_dir, snapshot_name(step))
+    tmp = fname + '.tmp'
+    with open(tmp, 'wb') as f:
+        np.savez_compressed(f, **out)
+    os.replace(tmp, fname)
+    return fname

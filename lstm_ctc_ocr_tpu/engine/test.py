@@ -107,9 +107,14 @@ class SolverWrapper:
             jax.random.PRNGKey(cfg.RNG_SEED),
             {'data': (n, w0, cfg.NUM_FEATURES), 'time_step_len': (n,)})
         if restore:
-            found = checkpoint.latest_checkpoint(self.output_dir)
+            # training snapshots first, else the shipped release weights
+            # (checkpoints/<EXP_DIR>/, tracked in git)
+            found = checkpoint.latest_eval_checkpoint(self.output_dir)
             if found is None:
-                raise RuntimeError('no checkpoint found in {}'.format(self.output_dir))
+                raise RuntimeError(
+                    'no checkpoint found in {} (nor released weights in {})'
+                    .format(self.output_dir,
+                            checkpoint.release_dir(self.output_dir)))
             path, step = found
             print('Restoring from {}...'.format(path), end=' ')
             # extra flat keys (opt_state/...) in the snapshot are ignored

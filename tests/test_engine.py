@@ -178,3 +178,40 @@ def test_npy_pretrained_list_nodes_roundtrip(tmp_path):
                                   params['logits']['cells'][1]['kernel'])
     np.testing.assert_array_equal(loaded['logits']['weights'],
                                   params['logits']['weights'])
+
+
+def test_release_checkpoint_fallback(tmp_path, monkeypatch):
+    """save_release writes a tracked params-only f16 checkpoint under
+    checkpoints/<EXP_DIR>/; eval restore falls back to it when output/ is
+    empty, and float leaves come back in the template dtype."""
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+    root = tmp_path
+    out_dir = str(root / 'output' / 'exp')
+    params = {'w': jnp.arange(6.0).reshape(2, 3) / 7.0,
+              'step': jnp.asarray(3, jnp.int32)}
+    rel = checkpoint.save_release(params, out_dir, 42)
+    assert rel == os.path.join(str(root), 'checkpoints', 'exp',
+                               checkpoint.snapshot_name(42))
+    with np.load(rel) as data:
+        assert data['params/w'].dtype == np.float16      # f16 on disk
+        assert data['params/step'].dtype == np.int32     # non-float untouched
+    # output/ empty -> eval restore finds the release
+    found = checkpoint.latest_eval_checkpoint(out_dir)
+    assert found is not None and found[1] == 42
+    restored = checkpoint.restore({'params': params}, found[0])['params']
+    assert np.asarray(restored['w']).dtype == np.float32  # template dtype wins
+    np.testing.assert_allclose(np.asarray(restored['w']),
+                               np.asarray(params['w']), rtol=1e-3)
+    # a real training snapshot takes precedence over the release
+    checkpoint.save({'params': params}, out_dir, 7)
+    found2 = checkpoint.latest_eval_checkpoint(out_dir)
+    assert found2[1] == 7 and 'checkpoints' not in found2[0]
+
+
+def test_release_keeps_out_of_range_leaves_f32(tmp_path):
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+    out_dir = str(tmp_path / 'output' / 'exp')
+    params = {'big': jnp.asarray([1e5, 2e5], jnp.float32)}  # overflows f16
+    rel = checkpoint.save_release(params, out_dir, 1)
+    with np.load(rel) as data:
+        assert data['params/big'].dtype == np.float32

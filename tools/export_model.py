@@ -67,9 +67,10 @@ def main():
     params = net.init_params(
         jax.random.PRNGKey(cfg.RNG_SEED),
         {'data': (n, w0, cfg.NUM_FEATURES), 'time_step_len': (n,)})
-    found = checkpoint.latest_checkpoint(out_dir)
+    found = checkpoint.latest_eval_checkpoint(out_dir)
     if found is None:
-        raise SystemExit('no checkpoint in {}'.format(out_dir))
+        raise SystemExit('no checkpoint in {} (nor a release in {})'.format(
+            out_dir, checkpoint.release_dir(out_dir)))
     path, step = found
     params = checkpoint.restore({'params': params}, path)['params']
     print('freezing {} (step {})'.format(path, step))
