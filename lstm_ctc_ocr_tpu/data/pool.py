@@ -14,6 +14,7 @@ Selected with ``cfg.DATA_BACKEND = 'pool'``.
 
 from __future__ import annotations
 
+import os
 import random
 from typing import Iterator, List, Optional
 
@@ -33,12 +34,63 @@ def _render_resized(rng):
     return im, lab
 
 
+def _cache_path(size: int, seed: int) -> str:
+    """Deterministic on-disk cache file for the initial pool fill. The key
+    covers everything the rendered distribution depends on; a config change
+    silently misses the cache and re-renders."""
+    import hashlib
+    key = '|'.join(str(v) for v in (
+        cfg.RENDERER, cfg.FONT, cfg.CHARSET, cfg.MIN_LEN, cfg.MAX_LEN,
+        cfg.IMG_HEIGHT, size, seed))
+    h = hashlib.sha1(key.encode()).hexdigest()[:12]
+    return os.path.join('data', 'pool_cache', 'pool_{}.npz'.format(h))
+
+
+def _cache_load(path: str):
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as d:
+            strip = np.ascontiguousarray(d['strip'])
+            widths, labels = d['widths'], d['labels']
+    except Exception as e:                       # corrupt/partial cache
+        print('pool cache unreadable ({}); re-rendering'.format(e))
+        return None
+    images, off = [], 0
+    for w in widths:
+        images.append(strip[:, off:off + int(w)].copy())
+        off += int(w)
+    return images, [str(s) for s in labels]
+
+
+def _cache_save(path: str, images, labels) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    strip = np.concatenate(images, axis=1)       # equal heights (IMG_HEIGHT)
+    widths = np.asarray([im.shape[1] for im in images], np.int32)
+    tmp = '{}.tmp.{}'.format(path, os.getpid())
+    with open(tmp, 'wb') as f:
+        np.savez(f, strip=strip, widths=widths,
+                 labels=np.asarray(labels, dtype=str))
+    os.replace(tmp, path)                        # atomic vs concurrent fills
+
+
 class PoolSampler:
     def __init__(self, size: int, seed: int = 0, verbose: bool = True):
         self._rng = random.Random(seed)
         self._np_rng = np.random.RandomState(seed)
         self.images: List[np.ndarray] = []
         self.labels: List[str] = []
+        # the initial fill is deterministic in (cfg, size, seed) — cache it
+        # on disk so restarts (lr step-downs, resumes) skip the multi-minute
+        # re-render on 1-core hosts; refresh() drift is per-process on top
+        cache = _cache_path(size, seed)
+        loaded = _cache_load(cache)
+        if loaded is not None:
+            self.images, self.labels = loaded
+            if verbose:
+                print('pool: loaded {} cached images ({})'.format(
+                    len(self.images), cache), flush=True)
+            return
         if verbose:
             print('rendering {} pool images...'.format(size), flush=True)
         for i in range(size):
@@ -47,6 +99,7 @@ class PoolSampler:
             self.labels.append(lab)
             if verbose and (i + 1) % 5000 == 0:
                 print('  pool: {}/{}'.format(i + 1, size), flush=True)
+        _cache_save(cache, self.images, self.labels)
 
     def refresh(self, k: int) -> None:
         for _ in range(k):

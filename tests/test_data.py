@@ -1,5 +1,6 @@
 """Data pipeline: captcha renderer, reference batcher semantics, bucketing."""
 
+import os
 import random
 
 import numpy as np
@@ -204,3 +205,24 @@ def test_enqueuer_spawn_workers_product_stream():
             stream.close()
     finally:
         cfg.MP_START = old
+
+
+def test_pool_cache_roundtrip(tmp_path, monkeypatch):
+    """The pool's initial fill caches to disk and a second sampler loads it
+    (same images/labels); a distribution change misses the cache."""
+    monkeypatch.chdir(tmp_path)
+    from lstm_ctc_ocr_tpu.config import cfg
+    from lstm_ctc_ocr_tpu.data import pool as pool_mod
+    old = (cfg.CHARSET, cfg.MIN_LEN, cfg.MAX_LEN)
+    try:
+        cfg.CHARSET, cfg.MIN_LEN, cfg.MAX_LEN = '0123456789', 2, 3
+        a = pool_mod.PoolSampler(6, seed=3, verbose=False)
+        assert os.path.exists(pool_mod._cache_path(6, 3))
+        b = pool_mod.PoolSampler(6, seed=3, verbose=False)
+        assert a.labels == b.labels
+        for x, y in zip(a.images, b.images):
+            np.testing.assert_array_equal(x, y)
+        cfg.MAX_LEN = 4   # different distribution -> different cache key
+        assert not os.path.exists(pool_mod._cache_path(6, 3))
+    finally:
+        cfg.CHARSET, cfg.MIN_LEN, cfg.MAX_LEN = old
