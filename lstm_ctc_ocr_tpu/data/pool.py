@@ -2,7 +2,8 @@
 
 The reference renders every training image fresh in 12 worker processes
 (gen.py:112-116) — with one host core that caps end-to-end training at
-~70 images/sec while the TPU step runs at >100k images/sec. The pool
+~70 images/sec while the TPU step sustains ~15k images/sec (audited,
+PERF.md). The pool
 sampler pre-renders ``POOL_SIZE`` images once, then serves batches by
 sampling the pool, refreshing ``POOL_REFRESH`` images per batch so the
 pool slowly drifts toward fresh data. Statistically this sits between the
@@ -39,8 +40,17 @@ def _cache_path(size: int, seed: int) -> str:
     covers everything the rendered distribution depends on; a config change
     silently misses the cache and re-renders."""
     import hashlib
+
+    from ..config import resolve_font
+    try:
+        # key on the font file actually used, not the configured name: the
+        # renderer goes through resolve_font()'s fallback chain, so a missing
+        # configured font must not serve a cache rendered with a different one
+        font_used = resolve_font()
+    except FileNotFoundError:
+        font_used = cfg.FONT
     key = '|'.join(str(v) for v in (
-        cfg.RENDERER, cfg.FONT, cfg.CHARSET, cfg.MIN_LEN, cfg.MAX_LEN,
+        cfg.RENDERER, font_used, cfg.CHARSET, cfg.MIN_LEN, cfg.MAX_LEN,
         cfg.IMG_HEIGHT, size, seed))
     h = hashlib.sha1(key.encode()).hexdigest()[:12]
     return os.path.join('data', 'pool_cache', 'pool_{}.npz'.format(h))
@@ -82,11 +92,20 @@ class PoolSampler:
         self.labels: List[str] = []
         # the initial fill is deterministic in (cfg, size, seed) — cache it
         # on disk so restarts (lr step-downs, resumes) skip the multi-minute
-        # re-render on 1-core hosts; refresh() drift is per-process on top
+        # re-render on 1-core hosts
         cache = _cache_path(size, seed)
         loaded = _cache_load(cache)
         if loaded is not None:
             self.images, self.labels = loaded
+            # the fill that would have consumed the rng streams was skipped:
+            # reseed both so refresh() renders fresh images instead of
+            # replaying the exact pool contents for the first POOL_SIZE draws
+            import hashlib
+            digest = hashlib.sha1(
+                'cache-resume|{}'.format(seed).encode()).digest()
+            resume_seed = int.from_bytes(digest[:4], 'little') & 0x7FFFFFFF
+            self._rng = random.Random(resume_seed)
+            self._np_rng = np.random.RandomState(resume_seed ^ 0x5DEECE66)
             if verbose:
                 print('pool: loaded {} cached images ({})'.format(
                     len(self.images), cache), flush=True)

@@ -100,10 +100,11 @@ def make_train_step(net, tx, dtype, in_shardings=None, out_shardings=None):
     """The jitted train step takes the *iteration number* (a traced int32
     scalar), not a PRNG key: the per-step key is derived on-device via
     ``fold_in``. A host-side ``jax.random.split`` per iteration is a tiny
-    device op whose dispatch round-trip serializes the pipeline — removing
-    it alone takes the measured chip throughput from ~128k to ~377k img/s
-    through the TPU tunnel. fold_in(base, it) is also deterministic per
-    iteration, so resume reproduces the exact key stream.
+    device op whose dispatch round-trip serializes the pipeline over the
+    TPU tunnel (it roughly tripled the Python-side dispatch rate when
+    removed; audited end-to-end numbers live in PERF.md). fold_in(base, it)
+    is also deterministic per iteration, so resume reproduces the exact
+    key stream.
 
     ``in_shardings``/``out_shardings`` annotate the same program for a
     device mesh (parallel/mesh.py delegates here, so single-chip and

@@ -17,17 +17,20 @@ def _strip(seq, ignore_value):
     return [int(i) for i in seq if int(i) != ignore_value]
 
 
-def accuracy_calculation(original_seq, decoded_seq, ignore_value=0, isPrint=True):
+def accuracy_calculation(original_seq, decoded_seq, ignore_value=0,
+                         verbose=True):
     if len(original_seq) != len(decoded_seq):
-        print('original lengths {} is different from the decoded_seq {}, please check again'
+        print('accuracy_calculation: got {} reference sequences but {} '
+              'decoded ones — batch mismatch, returning 0'
               .format(len(original_seq), len(decoded_seq)))
         return 0
     count = 0
     for i, origin_label in enumerate(original_seq):
         decoded_label = _strip(decoded_seq[i], ignore_value)
         origin_label = _strip(origin_label, ignore_value)
-        if isPrint and i < cfg.VAL.PRINT_NUM:
-            print('seq {:>4}: origin: {} decoded: {}'.format(i, origin_label, decoded_label))
+        if verbose and i < cfg.VAL.PRINT_NUM:
+            print('seq {:>4}: origin: {} decoded: {}'.format(
+                i, origin_label, decoded_label))
         if origin_label == decoded_label:
             count += 1
     return count * 1.0 / len(original_seq)

@@ -138,9 +138,9 @@ def test_metrics_accuracy_and_label_helpers():
                                                 merge_labels, restore_labels)
     org = [[1, 2, 3], [4, 5]]
     dec = [[1, 2, 3, 0, 0], [4, 0, 5]]  # 0s are stripped before compare
-    assert accuracy_calculation(org, dec, ignore_value=0, isPrint=False) == 1.0
+    assert accuracy_calculation(org, dec, ignore_value=0, verbose=False) == 1.0
     dec_bad = [[1, 2], [4, 5]]
-    assert accuracy_calculation(org, dec_bad, ignore_value=0, isPrint=False) == 0.5
+    assert accuracy_calculation(org, dec_bad, ignore_value=0, verbose=False) == 0.5
     flat = [1, 2, 3, 4, 5]
     assert restore_labels(flat, [3, 2]) == [[1, 2, 3], [4, 5]]
     assert merge_labels([[1, 2, 0, 0], [3, 0]]).tolist() == [1, 2, 3]

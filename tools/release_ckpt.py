@@ -86,12 +86,19 @@ def main():
         # evaluate the released artifact itself: hand the eval driver the
         # RELEASE dir as its checkpoint dir, so the f16 file that ships is
         # exactly what gets restored (not the f32 training snapshot)
+        rel_dir = checkpoint.release_dir(out_dir)
+        newest = checkpoint.latest_checkpoint(rel_dir)
+        if newest is None or os.path.abspath(newest[0]) != os.path.abspath(rel):
+            raise SystemExit(
+                'release dir {} would restore {} instead of the file just '
+                'released ({}); remove stale higher-step releases before '
+                'verifying'.format(rel_dir, newest and newest[0], rel))
         from lstm_ctc_ocr_tpu.engine.test import test_net
         from lstm_ctc_ocr_tpu.models.factory import get_network
         net = get_network('LSTM_test')
         cfg.TEST.BATCH_SIZE = args.batch
         acc, p50 = test_net(net, AttrDict({'name': cfg.EXP_DIR}),
-                            args.verify_dir, checkpoint.release_dir(out_dir),
+                            args.verify_dir, rel_dir,
                             None)
         print('released-weights accuracy: {:.4f} (p50 decode {:.4f}s)'
               .format(acc, p50))
