@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RELEASES = {
     'digit4': ('lstm/digit4.yml', 'data/val_digit4', 64, 0.86),
     'lstm_ctc': ('lstm/lstm.yml', 'data/val', 64, 0.86),
-    'records': ('lstm/records.yml', 'data/val', 64, 0.86),
+    'lstm_records': ('lstm/records.yml', 'data/val', 64, 0.86),
     'longline': ('lstm/longline.yml', 'data/val_longline', 48, 0.80),
     'scene': ('lstm/scene.yml', 'data/val_scene', 48, 0.86),
 }
