@@ -24,6 +24,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
+if os.environ.get('JAX_PLATFORMS'):
+    # The axon TPU plugin ignores the env var; route through the config
+    # API so JAX_PLATFORMS=cpu verifies a release while training holds
+    # the chip (same handling as lstm/test_net.py).
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
 
 def parse_args():
     p = argparse.ArgumentParser(description='Release a trained checkpoint')
