@@ -27,6 +27,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_FILE = os.path.join(REPO, 'bench_baseline.json')
 
+if os.environ.get('JAX_PLATFORMS') == 'cpu':
+    # the axon TPU plugin ignores the env var; route through the config API
+    # so smoke runs can use the CPU while training holds the chip
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
 N_WINDOWS = 9          # timing windows; the median is reported
 
 # Peak dense bf16 matmul throughput per chip, FLOP/s (published specs:
@@ -87,6 +93,7 @@ def bench_tpu_train(steps=30, batch=64, width=96):
                              {'data': (batch, width, 32), 'time_step_len': (batch,)})
     tx = make_optimizer()
     opt_state = tx.init(params)
+    bn_state = net.init_bn_state()
     step = make_train_step(net, tx, compute_dtype())
 
     host_batches = build_batches(batch, width)
@@ -98,7 +105,7 @@ def bench_tpu_train(steps=30, batch=64, width=96):
     # bwd + Adam) — the MFU numerator, auditable via cost_analysis()
     flops_per_step = None
     try:
-        cost = step.lower(params, opt_state, *dev_batches[0], 0) \
+        cost = step.lower(params, opt_state, bn_state, *dev_batches[0], 0) \
                    .compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -111,8 +118,9 @@ def bench_tpu_train(steps=30, batch=64, width=96):
     # hundred dispatches in a fresh process)
     it = 0
     for _ in range(300):
-        params, opt_state, total, ctc = step(
-            params, opt_state, *dev_batches[it % len(dev_batches)], it)
+        params, opt_state, bn_state, total, ctc = step(
+            params, opt_state, bn_state,
+            *dev_batches[it % len(dev_batches)], it)
         it += 1
     float(total)
 
@@ -130,13 +138,73 @@ def bench_tpu_train(steps=30, batch=64, width=96):
     for _ in range(N_WINDOWS):
         t0 = time.perf_counter()
         for _ in range(steps):
-            params, opt_state, total, ctc = step(
-                params, opt_state, *dev_batches[it % len(dev_batches)], it)
+            params, opt_state, bn_state, total, ctc = step(
+                params, opt_state, bn_state,
+                *dev_batches[it % len(dev_batches)], it)
             it += 1
         float(total)
         rates.append(steps * batch / (time.perf_counter() - t0))
     rates.sort()
     return rates[len(rates) // 2], flops_per_step, jax.devices()[0].device_kind
+
+
+def bench_sustained(seconds, batch):
+    """Sustained END-TO-END training throughput: the real train step fed
+    LIVE by the configured DATA_BACKEND (pool/records/synth with the
+    configured RENDERER) for ``seconds`` of wall clock — host rendering,
+    batching and transfer included. This is the number a real training run
+    sustains on this host, vs bench_tpu_train's device-capability number
+    (prefetched batches cycled from memory). The reference's only speed
+    metric is exactly this end-to-end s/iter (lib/lstm/train.py:138).
+    """
+    import jax
+    import jax.numpy as jnp
+    from lstm_ctc_ocr_tpu.config import cfg
+    from lstm_ctc_ocr_tpu.engine.train import (compute_dtype,
+                                               enable_persistent_compile_cache,
+                                               make_optimizer,
+                                               make_train_stream,
+                                               make_train_step)
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+
+    enable_persistent_compile_cache()
+    cfg.TRAIN.BATCH_SIZE = batch
+    net = get_network('LSTM_train')
+    w0 = int(cfg.BUCKETS[0])
+    params = net.init_params(jax.random.PRNGKey(0),
+                             {'data': (batch, w0, 32),
+                              'time_step_len': (batch,)})
+    tx = make_optimizer()
+    opt_state = tx.init(params)
+    bn_state = net.init_bn_state()
+    step = make_train_step(net, tx, compute_dtype())
+    stream = make_train_stream(batch)
+
+    def run(n_steps, it0):
+        nonlocal params, opt_state, bn_state
+        it = it0
+        for _ in range(n_steps):
+            b = next(stream)
+            params, opt_state, bn_state, total, _ = step(
+                params, opt_state, bn_state,
+                jnp.asarray(b.image), jnp.asarray(b.label),
+                jnp.asarray(b.label_len), jnp.asarray(b.time_step), it)
+            it += 1
+        float(total)        # close the window: forces the step chain
+        return it
+
+    # warmup: compile every bucket the stream actually hops across, and
+    # let the tunnel dispatch path reach steady state
+    it = run(30, 0)
+
+    t0 = time.perf_counter()
+    steps_done = 0
+    chunk = 20
+    while time.perf_counter() - t0 < seconds:
+        it = run(chunk, it)
+        steps_done += chunk
+    dt = time.perf_counter() - t0
+    return steps_done * batch / dt, steps_done, dt
 
 
 def bench_tf_cpu_baseline(steps=4, batch=64, width=96):
@@ -221,6 +289,15 @@ if __name__ == '__main__':
                          'The TF-CPU baseline is measured at the same batch.')
     ap.add_argument('--width', type=int, default=96)
     ap.add_argument('--refresh-baseline', action='store_true')
+    ap.add_argument('--no-baseline', action='store_true',
+                    help='skip the TF-CPU baseline (variant sweeps at '
+                         'non-default shapes: do not measure or overwrite '
+                         'the cached default-shape baseline)')
+    ap.add_argument('--sustained', type=int, default=0, metavar='SECONDS',
+                    help='measure sustained END-TO-END training throughput '
+                         'instead: the real solver-style loop fed live by '
+                         'cfg.DATA_BACKEND for this many seconds '
+                         '(device-capability mode cycles prefetched batches)')
     ap.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                     default=None,
                     help="cfg overrides, e.g. --set CONV_IMPL '\"shifted\"' "
@@ -231,14 +308,34 @@ if __name__ == '__main__':
         from lstm_ctc_ocr_tpu.config import cfg_from_list
         cfg_from_list(args.set_cfgs)
 
+    if args.sustained:
+        from lstm_ctc_ocr_tpu.config import cfg
+        ips, steps_done, dt = bench_sustained(args.sustained, args.batch)
+        print(json.dumps({
+            'metric': 'captcha images/sec sustained (end-to-end train)',
+            'value': round(ips, 2),
+            'unit': 'images/sec',
+            'vs_baseline': None,
+            'backend': str(cfg.DATA_BACKEND),
+            'renderer': str(cfg.RENDERER),
+            'batch': args.batch,
+            'steps': steps_done,
+            'seconds': round(dt, 1),
+        }))
+        sys.exit(0)
+
     ips, flops_per_step, device_kind = bench_tpu_train(
         steps=args.steps, batch=args.batch, width=args.width)
-    try:
-        base = get_baseline(args.batch, args.width, refresh=args.refresh_baseline)
-    except Exception as e:
-        print('baseline measurement failed ({}); vs_baseline -> null'
-              .format(e), file=sys.stderr)
+    if args.no_baseline:
         base = None
+    else:
+        try:
+            base = get_baseline(args.batch, args.width,
+                                refresh=args.refresh_baseline)
+        except Exception as e:
+            print('baseline measurement failed ({}); vs_baseline -> null'
+                  .format(e), file=sys.stderr)
+            base = None
 
     result = {
         'metric': 'captcha images/sec/chip (train)',

@@ -144,6 +144,16 @@ __C.BEAM_WIDTH = 16
 # (network.py:656): post-collapse adjacent repeats in the decoded labels.
 # Off by default (it deletes legitimate double letters); on = parity mode.
 __C.BEAM_MERGE_REPEATED = False
+# BN statistics at eval/serving: 'batch' reproduces the reference quirk —
+# tf.contrib.layers.batch_norm(is_training=True) in BOTH train and test
+# graphs (reference network.py:176-178), so eval accuracy moves ±1-2 images
+# with batch composition. 'moving' normalizes with EMA statistics that the
+# train step accumulates as non-optimized state (or that
+# tools/calibrate_bn.py estimates post-hoc for released weights), making
+# eval/serving batch-composition invariant. Training always uses batch
+# statistics (and always maintains the EMA) under either setting.
+__C.BN_EVAL = 'batch'          # 'batch' (reference parity) | 'moving'
+__C.BN_MOMENTUM = 0.99         # EMA decay of the moving mean/variance
 __C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev path)
 # Device parallelism for the training CLI: 'auto' builds a DP mesh over every
 # visible chip (largest device count dividing the batch sizes), 'off' forces

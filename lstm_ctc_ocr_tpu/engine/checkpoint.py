@@ -45,12 +45,25 @@ def flatten_state(state) -> Dict[str, np.ndarray]:
     return {_path_str(path): np.asarray(leaf) for path, leaf in leaves}
 
 
-def unflatten_like(template, flat: Dict[str, np.ndarray]):
+def unflatten_like(template, flat: Dict[str, np.ndarray],
+                   allow_missing_prefixes: Tuple[str, ...] = ()):
+    """Rebuild a pytree like ``template`` from flat path-keyed arrays.
+
+    Keys absent from ``flat`` raise, EXCEPT under ``allow_missing_prefixes``
+    (path-prefix match), where the template's own leaf is kept — the
+    backward-compat path for state added after a checkpoint was written
+    (e.g. ``bn_state`` on pre-BN_EVAL snapshots)."""
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
+    missing_allowed = []
     for path, leaf in paths_leaves:
         key = _path_str(path)
         if key not in flat:
+            if any(key == p or key.startswith(p + '/')
+                   for p in allow_missing_prefixes):
+                missing_allowed.append(key)
+                new_leaves.append(np.asarray(leaf))
+                continue
             raise KeyError('checkpoint missing parameter: {}'.format(key))
         arr = flat[key]
         if tuple(arr.shape) != tuple(np.shape(leaf)):
@@ -63,6 +76,10 @@ def unflatten_like(template, flat: Dict[str, np.ndarray]):
                 and np.issubdtype(want, np.floating):
             arr = arr.astype(want)
         new_leaves.append(arr)
+    if missing_allowed:
+        print('checkpoint predates {} key(s) under {}; keeping fresh '
+              'initial values'.format(len(missing_allowed),
+                                      sorted(allow_missing_prefixes)))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
@@ -121,10 +138,19 @@ def latest_checkpoint(output_dir: str) -> Optional[Tuple[str, int]]:
     return max(ckpts, key=lambda x: x[1])
 
 
-def restore(template, path: str):
+def restore(template, path: str, allow_missing_prefixes: Tuple[str, ...] = ()):
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
-    return unflatten_like(template, flat)
+    return unflatten_like(template, flat, allow_missing_prefixes)
+
+
+def has_keys_under(path: str, prefix: str) -> bool:
+    """True if the .npz at ``path`` stores any leaf under ``prefix/``
+    (e.g. 'bn_state' — written by BN_EVAL-era snapshots and
+    tools/calibrate_bn.py-augmented releases)."""
+    with np.load(path) as data:
+        return any(k == prefix or k.startswith(prefix + '/')
+                   for k in data.files)
 
 
 def load_npy_pretrained(params, path: str, ignore_missing: bool = False):
@@ -178,13 +204,14 @@ def load_npy_pretrained(params, path: str, ignore_missing: bool = False):
     return params
 
 
-def restore_latest(template, output_dir: str):
+def restore_latest(template, output_dir: str,
+                   allow_missing_prefixes: Tuple[str, ...] = ()):
     """Returns (state, step) from the newest snapshot, or (None, 0)."""
     found = latest_checkpoint(output_dir)
     if found is None:
         return None, 0
     path, step = found
-    return restore(template, path), step
+    return restore(template, path, allow_missing_prefixes), step
 
 
 # --- released (shipped) checkpoints ------------------------------------------
@@ -216,20 +243,27 @@ def latest_eval_checkpoint(output_dir: str) -> Optional[Tuple[str, int]]:
 
 
 def save_release(params, output_dir: str, step: int,
-                 dtype: str = 'float16') -> str:
+                 dtype: str = 'float16', bn_state=None) -> str:
     """Write a params-only release checkpoint to checkpoints/<EXP_DIR>/.
 
     Float leaves are stored in ``dtype`` (default f16 — halves the tracked
     size; weights of this model fit f16's range and eval accuracy is
     unchanged, which tools/release_ckpt.py verifies by re-evaluating the
     released file). Leaves whose magnitude exceeds f16 range stay f32.
+    ``bn_state`` (moving BN statistics), when given, ships inside the same
+    file so the release supports ``BN_EVAL: moving`` eval.
     """
     rel_dir = release_dir(output_dir)
     os.makedirs(rel_dir, exist_ok=True)
-    flat = flatten_state({'params': params})
+    state = {'params': params}
+    if bn_state:
+        state['bn_state'] = bn_state
+    flat = flatten_state(state)
     out = {}
     for k, v in flat.items():
-        if dtype and v.dtype == np.float32:
+        # bn_state stays f32: the moving variances feed rsqrt(var + 1e-3)
+        # and are a few KB total — not worth any rounding
+        if dtype and v.dtype == np.float32 and not k.startswith('bn_state/'):
             if not np.all(np.isfinite(v)) or np.abs(v).max() >= 6e4:
                 out[k] = v
             else:

@@ -17,10 +17,14 @@ discipline as training, so a server never recompiles.
   little and buys a hardware-agnostic artifact.
 * ``ExportedDecoder`` is the loader: manifest + per-bucket programs, with
   the same preprocessing contract as eval (engine/test.py:prepare_single).
-* Inherited reference quirk: BN uses batch statistics even in the test
-  graph (network.py:176-178), so decoded output can vary slightly with
-  batch composition — exactly as the reference's own eval does. Export
-  with ``batch=1`` for composition-independent serving.
+* Inherited reference quirk: under the default ``BN_EVAL: batch`` BN uses
+  batch statistics even in the test graph (network.py:176-178), so decoded
+  output can vary slightly with batch composition — exactly as the
+  reference's own eval does. Two composition-independent options: export
+  with ``batch=1`` (costs serving throughput), or export under
+  ``BN_EVAL: moving`` with a checkpoint that carries moving statistics
+  (train-step EMA or tools/calibrate_bn.py) — the frozen artifact then
+  normalizes with constants and batching is free.
 """
 
 from __future__ import annotations
@@ -43,8 +47,13 @@ def _artifact_name(width: int) -> str:
 def export_decoder(net, params, out_dir: str,
                    buckets: Sequence[int] | None = None,
                    batch: int | None = None,
-                   platforms: Sequence[str] = ('cpu', 'tpu')) -> Dict:
-    """Write per-bucket frozen decode programs + manifest; returns manifest."""
+                   platforms: Sequence[str] = ('cpu', 'tpu'),
+                   bn_state=None) -> Dict:
+    """Write per-bucket frozen decode programs + manifest; returns manifest.
+
+    ``bn_state`` (moving BN statistics) freezes into the program alongside
+    the params when ``cfg.BN_EVAL == 'moving'`` — the artifact then decodes
+    batch-composition independently at any batch size."""
     import jax
     from jax import export as jexport
     from .train import make_decode_step
@@ -52,6 +61,11 @@ def export_decoder(net, params, out_dir: str,
     buckets = sorted(int(b) for b in (buckets or cfg.BUCKETS))
     batch = int(batch or cfg.TEST.BATCH_SIZE)
     os.makedirs(out_dir, exist_ok=True)
+    if str(cfg.BN_EVAL) == 'moving' and not bn_state:
+        raise ValueError('BN_EVAL=moving export requires bn_state '
+                         '(restore a bn_state-bearing checkpoint or run '
+                         'tools/calibrate_bn.py)')
+    bn_state = bn_state or {}
 
     old_impl = str(cfg.LSTM_IMPL)
     cfg.LSTM_IMPL = 'jax'          # portable artifact (see module docstring)
@@ -60,7 +74,7 @@ def export_decoder(net, params, out_dir: str,
         decode_step = make_decode_step(net, compute_dtype())
 
         def frozen(image, time_step):
-            return decode_step(params, image, time_step)
+            return decode_step(params, bn_state, image, time_step)
 
         import jax.numpy as jnp
         for w in buckets:
@@ -85,6 +99,7 @@ def export_decoder(net, params, out_dir: str,
         'num_features': int(cfg.NUM_FEATURES),
         'pool_scale': int(cfg.POOL_SCALE),
         'offset_time_step': int(cfg.OFFSET_TIME_STEP),
+        'bn_eval': str(cfg.BN_EVAL),
     }
     with open(os.path.join(out_dir, MANIFEST), 'w') as f:
         json.dump(manifest, f, indent=1)

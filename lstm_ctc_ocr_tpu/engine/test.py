@@ -106,6 +106,8 @@ class SolverWrapper:
         params = self.net.init_params(
             jax.random.PRNGKey(cfg.RNG_SEED),
             {'data': (n, w0, cfg.NUM_FEATURES), 'time_step_len': (n,)})
+        bn_state = self.net.init_bn_state()
+        use_moving = str(cfg.BN_EVAL) == 'moving' and bn_state
         if restore:
             # training snapshots first, else the shipped release weights
             # (checkpoints/<EXP_DIR>/, tracked in git)
@@ -118,7 +120,20 @@ class SolverWrapper:
             path, step = found
             print('Restoring from {}...'.format(path), end=' ')
             # extra flat keys (opt_state/...) in the snapshot are ignored
-            params = checkpoint.restore({'params': params}, path)['params']
+            if use_moving:
+                # BN_EVAL='moving' needs the checkpoint's moving statistics;
+                # loud failure beats silently evaluating with init stats
+                if not checkpoint.has_keys_under(path, 'bn_state'):
+                    raise RuntimeError(
+                        'BN_EVAL=moving but {} has no bn_state (pre-BN_EVAL '
+                        'snapshot or release) — estimate it post-hoc with '
+                        'tools/calibrate_bn.py, or eval with BN_EVAL=batch'
+                        .format(path))
+                state = checkpoint.restore(
+                    {'params': params, 'bn_state': bn_state}, path)
+                params, bn_state = state['params'], state['bn_state']
+            else:
+                params = checkpoint.restore({'params': params}, path)['params']
             print('done (step {})'.format(step))
         _, decode_maps = get_encode_decode_dict()
         from ..data.records import parse_label_from_filename
@@ -153,6 +168,7 @@ class SolverWrapper:
         if mesh is not None:
             from ..parallel import mesh as pmesh
             params = jax.device_put(params, pmesh.replicated(mesh))
+            bn_state = jax.device_put(bn_state, pmesh.replicated(mesh))
             decode_step = pmesh.make_parallel_decode_step(
                 self.net, dtype, mesh)
 
@@ -160,14 +176,15 @@ class SolverWrapper:
                 return pmesh.shard_batch(mesh, *arrays)
         else:
             params = jax.device_put(params)
+            bn_state = jax.device_put(bn_state)
             decode_step = make_decode_step(self.net, dtype)
 
             def put(*arrays):
                 return tuple(jnp.asarray(a) for a in arrays)
 
         if batch > 1:
-            return self._test_batched(decode_step, params, decode_maps,
-                                      testDir, files, batch, put)
+            return self._test_batched(decode_step, params, bn_state,
+                                      decode_maps, testDir, files, batch, put)
 
         timer = Timer()
         total = correct = 0
@@ -179,7 +196,8 @@ class SolverWrapper:
             img = load_image(os.path.join(testDir, fname))
             image, time_step = prepare_single(img)
             td = _time.perf_counter()
-            res_ids = np.asarray(decode_step(params, jnp.asarray(image),
+            res_ids = np.asarray(decode_step(params, bn_state,
+                                             jnp.asarray(image),
                                              jnp.asarray(time_step)))[0]
             # p50 counts the DECODE only, same definition as the batched
             # path; the printed per-file cost stays whole-body like the
@@ -197,7 +215,7 @@ class SolverWrapper:
         print('p50 decode latency: {:.4f}s'.format(p50))
         return acc, p50
 
-    def _test_batched(self, decode_step, params, decode_maps,
+    def _test_batched(self, decode_step, params, bn_state, decode_maps,
                       testDir, files, batch, put):
         """Throughput eval: images grouped by width bucket, decoded in
         fixed-shape batches (TPU-first addition; cfg.TEST.BATCH_SIZE > 1).
@@ -240,7 +258,8 @@ class SolverWrapper:
                 steps = np.array([x[1] for x in loaded]
                                  + [loaded[-1][1]] * pad, np.int32)
                 tb = _time.perf_counter()
-                dec = np.asarray(decode_step(params, *put(images, steps)))
+                dec = np.asarray(decode_step(params, bn_state,
+                                             *put(images, steps)))
                 decode_secs = _time.perf_counter() - tb
                 chunk_times.append((len(chunk), decode_secs,
                                     not bucket_first))

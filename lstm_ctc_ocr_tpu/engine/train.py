@@ -80,8 +80,9 @@ def make_loss_fn(net, dtype):
     ctc_loss_impl = select_ctc_loss()      # honors cfg.CTC_IMPL
 
     def loss_fn(params, image, label, label_len, time_step, rng):
+        bn_batch = {}    # bn=True convs deposit their batch mean/var here
         out = net.apply(params, {'data': image, 'time_step_len': time_step},
-                        train=True, rng=rng, dtype=dtype)
+                        train=True, rng=rng, dtype=dtype, bn_collect=bn_batch)
         logits = jnp.transpose(out['logits'], (1, 0, 2))   # [N, T, C]
         losses = ctc_loss_impl(logits, label, label_len, time_step)
         # infeasible alignments (logit_len too short for the label) carry
@@ -92,7 +93,7 @@ def make_loss_fn(net, dtype):
         n_ok = jnp.maximum(jnp.sum(feasible), 1)
         ctc = jnp.sum(jnp.where(feasible, losses, 0.0)) / n_ok
         total = ctc + net.regularization_loss(params)
-        return total, ctc
+        return total, (ctc, bn_batch)
     return loss_fn
 
 
@@ -111,20 +112,30 @@ def make_train_step(net, tx, dtype, in_shardings=None, out_shardings=None):
     multi-chip training are literally the same step function)."""
     loss_fn = make_loss_fn(net, dtype)
     base_key = jax.random.PRNGKey(int(cfg.RNG_SEED))
-    jit_kwargs = {'donate_argnums': (0, 1)}
+    momentum = float(cfg.BN_MOMENTUM)
+    jit_kwargs = {'donate_argnums': (0, 1, 2)}
     if in_shardings is not None:
         jit_kwargs['in_shardings'] = in_shardings
         jit_kwargs['out_shardings'] = out_shardings
 
     @functools.partial(jax.jit, **jit_kwargs)
-    def train_step(params, opt_state, image, label, label_len, time_step,
-                   step_idx):
+    def train_step(params, opt_state, bn_state, image, label, label_len,
+                   time_step, step_idx):
         rng = jax.random.fold_in(base_key, step_idx)
-        (total, ctc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (total, (ctc, bn_batch)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
             params, image, label, label_len, time_step, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, total, ctc
+        # moving BN statistics as non-optimized state: the reference's TF1
+        # graph registers the same EMA updates into UPDATE_OPS but never
+        # runs them (network.py:176-178 + train.py's bare sess.run), so its
+        # moving stats stay at init forever — here they actually track, and
+        # cfg.BN_EVAL='moving' eval can use them
+        bn_state = jax.tree.map(
+            lambda old, new: momentum * old + (1.0 - momentum) * new,
+            bn_state, bn_batch)
+        return params, opt_state, bn_state, total, ctc
 
     return train_step
 
@@ -134,11 +145,13 @@ def make_decode_step(net, dtype, in_shardings=None, out_shardings=None):
     if in_shardings is not None:
         jit_kwargs['in_shardings'] = in_shardings
         jit_kwargs['out_shardings'] = out_shardings
+    use_moving = str(cfg.BN_EVAL) == 'moving'
 
     @functools.partial(jax.jit, **jit_kwargs)
-    def decode_step(params, image, time_step):
+    def decode_step(params, bn_state, image, time_step):
         out = net.apply(params, {'data': image, 'time_step_len': time_step},
-                        train=False, dtype=dtype)
+                        train=False, dtype=dtype,
+                        bn_stats=bn_state if use_moving else None)
         logits = jnp.transpose(out['logits'], (1, 0, 2))
         if cfg.DECODER == 'beam':
             from ..ops.beam import beam_decode
@@ -160,6 +173,37 @@ def effective_workers(requested: int) -> int:
     return min(requested, max(cores - 1, 1))
 
 
+def make_train_stream(batch_size):
+    """Select the training data backend (cfg.DATA_BACKEND).
+
+    'synth'   — fresh multiprocess captcha stream (beta path, gen.py)
+    'pool'    — pre-rendered pool with incremental refresh (weak hosts)
+    'records' — serialized dataset (dev path, tf_records.py equivalent)
+
+    On a multi-host mesh each host feeds its own local shard, so synth
+    seeds are offset per process (records/pool epochs are likewise
+    decorrelated across hosts through the same seed offset). Module-level
+    (not a SolverWrapper method) so bench.py --sustained drives the
+    identical backend stream the solver trains from.
+    """
+    backend = str(cfg.DATA_BACKEND)
+    seed = int(cfg.RNG_SEED) + 100003 * jax.process_index()
+    if backend == 'records':
+        from ..data.records import RecordsDataset
+        ds = RecordsDataset(str(cfg.RECORDS_PATH),
+                            cache_resized=bool(cfg.RECORDS_CACHE_RESIZED))
+        print('records backend: {} examples from {}'.format(
+            len(ds), cfg.RECORDS_PATH))
+        return ds.batch_iterator(batch_size, shuffle=True, seed=seed)
+    if backend == 'pool':
+        from ..data.pool import PoolSampler
+        pool = PoolSampler(int(cfg.POOL_SIZE), seed=seed)
+        return pool.batch_iterator(batch_size)
+    workers = effective_workers(int(cfg.TRAIN.NUM_WORKERS))
+    return get_batch(num_workers=workers, seed=seed,
+                     batch_size=batch_size, bucketed=True)
+
+
 class SolverWrapper:
     """Training orchestrator (reference lib/lstm/train.py:10-162)."""
 
@@ -175,32 +219,7 @@ class SolverWrapper:
         print('Wrote snapshot to: {:s}'.format(fname))
 
     def _make_train_stream(self, batch_size):
-        """Select the data backend (cfg.DATA_BACKEND).
-
-        'synth'   — fresh multiprocess captcha stream (beta path, gen.py)
-        'pool'    — pre-rendered pool with incremental refresh (weak hosts)
-        'records' — serialized dataset (dev path, tf_records.py equivalent)
-
-        On a multi-host mesh each host feeds its own local shard, so synth
-        seeds are offset per process (records/pool epochs are likewise
-        decorrelated across hosts through the same seed offset).
-        """
-        backend = str(cfg.DATA_BACKEND)
-        seed = int(cfg.RNG_SEED) + 100003 * jax.process_index()
-        if backend == 'records':
-            from ..data.records import RecordsDataset
-            ds = RecordsDataset(str(cfg.RECORDS_PATH),
-                                cache_resized=bool(cfg.RECORDS_CACHE_RESIZED))
-            print('records backend: {} examples from {}'.format(
-                len(ds), cfg.RECORDS_PATH))
-            return ds.batch_iterator(batch_size, shuffle=True, seed=seed)
-        if backend == 'pool':
-            from ..data.pool import PoolSampler
-            pool = PoolSampler(int(cfg.POOL_SIZE), seed=seed)
-            return pool.batch_iterator(batch_size)
-        workers = effective_workers(int(cfg.TRAIN.NUM_WORKERS))
-        return get_batch(num_workers=workers, seed=seed,
-                         batch_size=batch_size, bucketed=True)
+        return make_train_stream(batch_size)
 
     @staticmethod
     def _select_mesh(batch_size):
@@ -240,15 +259,22 @@ class SolverWrapper:
                        'time_step_len': (n,)})
         tx = make_optimizer()
         opt_state = tx.init(params)
+        bn_state = self.net.init_bn_state()
 
         restore_iter = 1
         if restore:
+            # bn_state may be absent from pre-BN_EVAL-era snapshots: keep the
+            # fresh init and let the EMA re-converge (it tracks within a few
+            # hundred steps at BN_MOMENTUM=0.99)
             state, step = checkpoint.restore_latest(
-                {'params': params, 'opt_state': opt_state}, self.output_dir)
+                {'params': params, 'opt_state': opt_state,
+                 'bn_state': bn_state},
+                self.output_dir, allow_missing_prefixes=('bn_state',))
             if state is None:
                 raise RuntimeError(
                     'restore requested but no checkpoint in {}'.format(self.output_dir))
             params, opt_state = state['params'], state['opt_state']
+            bn_state = state['bn_state']
             restore_iter = step
             print('Restored step {} from {}'.format(step, self.output_dir))
         elif self.pre_train:
@@ -271,6 +297,7 @@ class SolverWrapper:
             repl = pmesh.replicated(mesh)
             params = jax.device_put(params, repl)
             opt_state = jax.device_put(opt_state, repl)
+            bn_state = jax.device_put(bn_state, repl)
             if jax.process_count() > 1:
                 def put(*arrays):
                     """Local shard -> global batch-sharded arrays (multi-host)."""
@@ -324,7 +351,8 @@ class SolverWrapper:
             if val_batch is None:  # cached first batch (train.py:146-149)
                 val_batch = next(val_gen)
             vb = val_batch
-            dec_arr = decode_step(params, *put(vb.image, vb.time_step))
+            dec_arr = decode_step(params, bn_state,
+                                  *put(vb.image, vb.time_step))
             if jax.process_count() > 1:
                 # this host's rows only: its addressable shards, global order
                 shards = sorted(dec_arr.addressable_shards,
@@ -362,8 +390,8 @@ class SolverWrapper:
                 print('loss: ', loss_val, end=' ')
                 loss_min = loss_val
                 # params currently in scope are post-step cur_it
-                self.snapshot({'params': params, 'opt_state': opt_state},
-                              cur_it + 1)
+                self.snapshot({'params': params, 'opt_state': opt_state,
+                               'bn_state': bn_state}, cur_it + 1)
                 run_val(it)
 
         try:
@@ -381,16 +409,16 @@ class SolverWrapper:
                 b = next(train_gen)
                 # per-step key folds in on-device (make_train_step); a host
                 # split here would add a dispatch round-trip every iter
-                params, opt_state, total, ctc = train_step(
-                    params, opt_state,
+                params, opt_state, bn_state, total, ctc = train_step(
+                    params, opt_state, bn_state,
                     *put(b.image, b.label, b.label_len, b.time_step), it)
                 if pending is not None:
                     process(pending[0], pending[1], step_secs, cur_it=it)
                 pending = (it, total)
 
                 if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
-                    self.snapshot({'params': params, 'opt_state': opt_state},
-                                  it + 1)
+                    self.snapshot({'params': params, 'opt_state': opt_state,
+                                   'bn_state': bn_state}, it + 1)
                 if (it + 1) % cfg.VAL.VAL_STEP == 0:
                     run_val(it)
             if pending is not None:

@@ -85,9 +85,21 @@ def conv_single_apply(params, x, ctx, k_h, k_w, c_o, s_h, s_w, c_i=None,
         # tf.contrib.layers.batch_norm(is_training=True): batch statistics
         # in BOTH train and test graphs (reference quirk; network.py:176-178,
         # LSTM_test builds the same bn=True graph). Stats in f32.
+        # ctx['bn_stats'] (cfg.BN_EVAL='moving' eval) substitutes frozen EMA
+        # statistics; ctx['bn_collect'] (train step) receives this layer's
+        # batch statistics so the caller can maintain the EMA.
         y32 = y.astype(jnp.float32)
-        mean = jnp.mean(y32, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(y32, axis=(0, 1, 2), keepdims=True)
+        name = ctx.get('layer')
+        stats = ctx.get('bn_stats')
+        if stats is not None and name in stats:
+            mean = stats[name]['mean'].astype(jnp.float32).reshape(1, 1, 1, -1)
+            var = stats[name]['var'].astype(jnp.float32).reshape(1, 1, 1, -1)
+        else:
+            mean = jnp.mean(y32, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(y32, axis=(0, 1, 2), keepdims=True)
+            coll = ctx.get('bn_collect')
+            if coll is not None and name is not None:
+                coll[name] = {'mean': mean.reshape(-1), 'var': var.reshape(-1)}
         y32 = (y32 - mean) * jax.lax.rsqrt(var + 1e-3)
         y = _cast(y32 * params['bn_gamma'] + params['bn_beta'], ctx)
     if relu:

@@ -437,10 +437,18 @@ class Network:
     # -- forward ----------------------------------------------------------------
 
     def apply(self, params, inputs: Dict[str, jnp.ndarray], train: bool = False,
-              rng: Optional[jax.Array] = None, dtype=None) -> Dict[str, jnp.ndarray]:
+              rng: Optional[jax.Array] = None, dtype=None,
+              bn_stats=None, bn_collect=None) -> Dict[str, jnp.ndarray]:
         """Pure forward pass. Returns every named layer output
-        (``get_output`` parity, network.py:79-85)."""
-        ctx = {'train': train, 'dtype': dtype}
+        (``get_output`` parity, network.py:79-85).
+
+        ``bn_stats``: frozen per-layer {'mean','var'} used by bn=True convs
+        instead of batch statistics (cfg.BN_EVAL='moving' eval path).
+        ``bn_collect``: a dict the caller owns; bn=True convs write their
+        batch statistics into it during tracing (the train step's EMA feed).
+        """
+        ctx = {'train': train, 'dtype': dtype,
+               'bn_stats': bn_stats, 'bn_collect': bn_collect}
         outputs: Dict[str, jnp.ndarray] = dict(inputs)
         for spec in self.specs:
             xs = [outputs[n] for n in spec.inputs]
@@ -455,10 +463,23 @@ class Network:
                                                    xs, ctx)
         return outputs
 
+    def init_bn_state(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Fresh moving-statistics state for every bn=True conv layer:
+        {layer: {'mean': zeros[C], 'var': ones[C]}}. Non-optimized train-step
+        state (cfg.BN_EVAL); {} when the graph has no batch norm."""
+        state: Dict[str, Dict[str, jnp.ndarray]] = {}
+        for spec in self.specs:
+            if spec.kind == 'conv_single' and spec.kwargs.get('bn'):
+                c = spec.kwargs['c_o']
+                state[spec.name] = {'mean': jnp.zeros((c,), jnp.float32),
+                                    'var': jnp.ones((c,), jnp.float32)}
+        return state
+
     def _apply_layer(self, spec, p, xs, ctx):
         kw = spec.kwargs
         if spec.kind == 'conv_single':
-            return L.conv_single_apply(p, xs[0], ctx, **kw)
+            return L.conv_single_apply(p, xs[0], dict(ctx, layer=spec.name),
+                                       **kw)
         if spec.kind == 'max_pool':
             return L.max_pool_apply(xs[0], ctx, **kw)
         if spec.kind == 'avg_pool':

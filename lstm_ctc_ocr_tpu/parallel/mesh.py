@@ -102,10 +102,14 @@ def make_parallel_train_step(net, tx, dtype, mesh: Mesh, axis: str = 'data'):
     from ..engine.train import make_train_step
     repl = replicated(mesh)
     dsh = batch_sharded(mesh, axis)
+    # args: params, opt_state, bn_state, image, label, label_len, time_step,
+    # step_idx — state replicated, batch sharded; the bn EMA update consumes
+    # batch statistics XLA already all-reduced across shards, so the
+    # replicated bn_state stays bit-identical on every device
     return make_train_step(
         net, tx, dtype,
-        in_shardings=(repl, repl, dsh, dsh, dsh, dsh, repl),
-        out_shardings=(repl, repl, repl, repl))
+        in_shardings=(repl, repl, repl, dsh, dsh, dsh, dsh, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
 
 
 def make_parallel_decode_step(net, dtype, mesh: Mesh, axis: str = 'data'):
@@ -114,5 +118,6 @@ def make_parallel_decode_step(net, dtype, mesh: Mesh, axis: str = 'data'):
     from ..engine.train import make_decode_step
     repl = replicated(mesh)
     dsh = batch_sharded(mesh, axis)
-    return make_decode_step(net, dtype, in_shardings=(repl, dsh, dsh),
+    return make_decode_step(net, dtype,
+                            in_shardings=(repl, repl, dsh, dsh),
                             out_shardings=dsh)

@@ -47,6 +47,7 @@ def main():
     repl = pmesh.replicated(m)
     params = jax.device_put(params, repl)
     opt_state = jax.device_put(opt_state, repl)
+    bn_state = jax.device_put(net.init_bn_state(), repl)
     step = pmesh.make_parallel_train_step(net, tx, None, m)
 
     rng = np.random.RandomState(0)            # same global batch both hosts
@@ -59,7 +60,8 @@ def main():
     lo, hi = pid * n // 2, (pid + 1) * n // 2  # this host's local slice
     sharded = pmesh.shard_host_batch(m, image[lo:hi], label[lo:hi],
                                      label_len[lo:hi], time_step[lo:hi])
-    params, opt_state, total, ctc = step(params, opt_state, *sharded, 0)
+    params, opt_state, bn_state, total, ctc = step(
+        params, opt_state, bn_state, *sharded, 0)
     print(json.dumps({'process': pid, 'loss': float(total),
                       'ctc': float(ctc)}), flush=True)
 

@@ -46,14 +46,16 @@ def test_digit4_loss_collapses():
                              {'data': (n, w, 32), 'time_step_len': (n,)})
     tx = make_optimizer()
     opt_state = tx.init(params)
+    bn_state = net.init_bn_state()
     step = make_train_step(net, tx, compute_dtype())
 
     first = None
     losses = []
     for i in range(60):
         b = next(stream)
-        params, opt_state, total, ctc = step(
-            params, opt_state, jnp.asarray(b.image), jnp.asarray(b.label),
+        params, opt_state, bn_state, total, ctc = step(
+            params, opt_state, bn_state,
+            jnp.asarray(b.image), jnp.asarray(b.label),
             jnp.asarray(b.label_len), jnp.asarray(b.time_step), i)
         v = float(ctc)
         assert np.isfinite(v), f'non-finite loss at iter {i}'

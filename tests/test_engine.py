@@ -98,6 +98,7 @@ def test_train_step_reduces_loss():
         tx = make_optimizer()
         opt_state = tx.init(params)
         step = make_train_step(net, tx, None)
+        bn_state = net.init_bn_state()
         rng = np.random.RandomState(0)
         image = jnp.asarray(rng.rand(n, w, 32).astype(np.float32))
         label = jnp.asarray(rng.randint(1, 11, size=(n, 6)).astype(np.int32))
@@ -105,8 +106,9 @@ def test_train_step_reduces_loss():
         time_step = jnp.asarray(np.full((n,), w // 4 - 1, np.int32))
         losses = []
         for i in range(8):
-            params, opt_state, total, ctc = step(params, opt_state, image,
-                                                 label, label_len, time_step, i)
+            params, opt_state, bn_state, total, ctc = step(
+                params, opt_state, bn_state, image,
+                label, label_len, time_step, i)
             losses.append(float(ctc))
         assert losses[-1] < losses[0] * 0.9, losses
         assert np.isfinite(losses).all()

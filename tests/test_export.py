@@ -53,7 +53,7 @@ def test_export_roundtrip_matches_live_decode(serve_cfg, tmp_path):
         ts = np.full((batch,), w // 4 - 1, np.int32)
         got = np.asarray(dec._programs[w].call(jnp.asarray(img),
                                                jnp.asarray(ts)))
-        want = np.asarray(live(params, jnp.asarray(img), jnp.asarray(ts)))
+        want = np.asarray(live(params, {}, jnp.asarray(img), jnp.asarray(ts)))
         np.testing.assert_array_equal(got, want)
 
 
@@ -84,7 +84,7 @@ def test_exported_decoder_end_to_end(serve_cfg, tmp_path):
     want = []
     for im in imgs:
         image, ts = prepare_single(im)
-        ids = np.asarray(live(params, jnp.asarray(image),
+        ids = np.asarray(live(params, {}, jnp.asarray(image),
                               jnp.asarray(ts)))[0]
         want.append(decode_ids(ids))
     assert got == want
@@ -119,7 +119,7 @@ def test_export_roundtrip_beam_decoder(serve_cfg, tmp_path):
     ts = np.full((2,), 64 // 4 - 1, np.int32)
     got = np.asarray(dec._programs[64].call(jnp.asarray(img),
                                             jnp.asarray(ts)))
-    want = np.asarray(live(params, jnp.asarray(img), jnp.asarray(ts)))
+    want = np.asarray(live(params, {}, jnp.asarray(img), jnp.asarray(ts)))
     np.testing.assert_array_equal(got, want)
 
 

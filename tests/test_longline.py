@@ -74,8 +74,9 @@ def test_longline_train_step_runs():
     tx = make_optimizer()
     opt_state = tx.init(params)
     step = make_train_step(net, tx, compute_dtype())
-    params, opt_state, total, ctc = step(
-        params, opt_state, jnp.asarray(b.image), jnp.asarray(b.label),
+    params, opt_state, _, total, ctc = step(
+        params, opt_state, net.init_bn_state(),
+        jnp.asarray(b.image), jnp.asarray(b.label),
         jnp.asarray(b.label_len), jnp.asarray(b.time_step), 0)
     assert np.isfinite(float(total))
     assert float(ctc) > 0.0

@@ -78,7 +78,8 @@ def test_two_process_dp_step_matches_single_process():
         label_len = rng.randint(4, 7, size=(n,)).astype(np.int32)
         time_step = np.full((n,), w // 4 - 1, np.int32)
         sharded = pmesh.shard_batch(m, image, label, label_len, time_step)
-        _, _, total, _ = step(params, opt_state, *sharded, 0)
+        bn_state = jax.device_put(net.init_bn_state(), pmesh.replicated(m))
+        _, _, _, total, _ = step(params, opt_state, bn_state, *sharded, 0)
         np.testing.assert_allclose(losses[0][1], float(total),
                                    rtol=1e-5, atol=1e-6)
     finally:

@@ -56,8 +56,9 @@ def test_parallel_step_matches_single_device(f32_cfg):
     # single device
     step1 = make_train_step(net, tx, None)
     p1, o1 = jax.tree.map(jnp.copy, params), tx.init(params)
+    b1 = net.init_bn_state()
     for it in range(2):
-        p1, o1, total1, ctc1 = step1(p1, o1, jnp.asarray(image),
+        p1, o1, b1, total1, ctc1 = step1(p1, o1, b1, jnp.asarray(image),
                                      jnp.asarray(label), jnp.asarray(label_len),
                                      jnp.asarray(time_step), it)
 
@@ -65,12 +66,18 @@ def test_parallel_step_matches_single_device(f32_cfg):
     m = pmesh.make_mesh(8)
     step8 = pmesh.make_parallel_train_step(net, tx, None, m)
     p8, o8 = jax.tree.map(jnp.copy, params), tx.init(params)
+    b8 = jax.device_put(net.init_bn_state(), pmesh.replicated(m))
     sharded = pmesh.shard_batch(m, image, label, label_len, time_step)
     for it in range(2):
-        p8, o8, total8, ctc8 = step8(p8, o8, *sharded, it)
+        p8, o8, b8, total8, ctc8 = step8(p8, o8, b8, *sharded, it)
 
     np.testing.assert_allclose(float(ctc1), float(ctc8), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # the moving BN statistics must also agree: the sharded batch mean/var
+    # are all-reduced across devices, so the EMA tracks the GLOBAL batch
+    for a, b in zip(jax.tree.leaves(b1), jax.tree.leaves(b8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
 
@@ -87,7 +94,7 @@ def test_parallel_decode(f32_cfg):
     rng = np.random.RandomState(1)
     image, _, _, time_step = _batch(n, w, rng)
     sh_img, sh_ts = pmesh.shard_batch(m, image, time_step)
-    out = np.asarray(dec(params, sh_img, sh_ts))
+    out = np.asarray(dec(params, net.init_bn_state(), sh_img, sh_ts))
     assert out.shape == (n, w // 4 - 1)
 
 

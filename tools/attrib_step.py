@@ -69,30 +69,31 @@ def main():
             total = jnp.mean(lg * lg) + net.regularization_loss(p)
             return total, total
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(p, o, image, label, label_len, time_step, it):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(p, o, bn, image, label, label_len, time_step, it):
             rng = jax.random.fold_in(base_key, it)
             (total, ctc), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(p, image, label, label_len,
                                        time_step, rng)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
-            return p, o, total, ctc
+            return p, o, bn, total, ctc
         return step
 
     def time_step_fn(step):
         p = jax.tree_util.tree_map(jnp.copy, params0)
         o = tx.init(p)
+        bn = net.init_bn_state()
         it = 0
         for _ in range(200):   # warm the dispatch path
-            p, o, total, _ = step(p, o, *data, it)
+            p, o, bn, total, _ = step(p, o, bn, *data, it)
             it += 1
         float(total)
         rates = []
         for _ in range(args.windows):
             t0 = time.perf_counter()
             for _ in range(args.calls):
-                p, o, total, _ = step(p, o, *data, it)
+                p, o, bn, total, _ = step(p, o, bn, *data, it)
                 it += 1
             float(total)
             rates.append((time.perf_counter() - t0) / args.calls * 1e3)

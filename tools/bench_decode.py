@@ -78,7 +78,7 @@ def bench_shape(tag, width, batch, seed=0):
     for decoder in ('greedy', 'beam'):
         cfg.DECODER = decoder
         step = make_decode_step(net, dtype)
-        full = time_windows(step, params, image, t_steps)
+        full = time_windows(step, params, {}, image, t_steps)
         if decoder == 'beam':
             dec = jax.jit(lambda lg, ts: beam_decode(
                 lg, ts, beam_width=int(cfg.BEAM_WIDTH),
@@ -98,13 +98,75 @@ def bench_shape(tag, width, batch, seed=0):
     return results
 
 
+def bench_frozen_vs_live(tag, width, batch, seed=0):
+    """Serving-artifact cost (VERDICT r3 item 7): the frozen StableHLO
+    export pins LSTM_IMPL='jax' for hardware portability (engine/serve.py);
+    this times the SAME decode through (a) the live jitted path with the
+    configured (pallas) kernels, (b) the live path with LSTM_IMPL='jax'
+    (the exact program the artifact contains), and (c) the deserialized
+    frozen artifact itself — so the portability trade-off is a number."""
+    import tempfile
+    from lstm_ctc_ocr_tpu.engine.serve import ExportedDecoder, export_decoder
+
+    rng = np.random.RandomState(seed)
+    dtype = compute_dtype()
+    net = get_network('LSTM_test')
+    params = net.init_params(
+        jax.random.PRNGKey(cfg.RNG_SEED),
+        {'data': (batch, width, cfg.NUM_FEATURES), 'time_step_len': (batch,)})
+    params = jax.device_put(params)
+    image = jnp.asarray(
+        rng.rand(batch, width, cfg.NUM_FEATURES).astype(np.float32))
+    t_steps = jnp.full((batch,), width // cfg.POOL_SCALE - 1, jnp.int32)
+
+    platform = jax.devices()[0].platform
+    results = []
+
+    def emit(variant, secs):
+        results.append({
+            'shape': tag, 'width': width, 'batch': batch,
+            'decoder': str(cfg.DECODER), 'variant': variant,
+            'p50_sec_per_batch': round(secs, 6),
+            'p50_ms_per_image': round(secs / batch * 1e3, 4),
+            'images_per_sec': round(batch / secs, 1),
+        })
+        print(json.dumps(results[-1]), flush=True)
+
+    live = make_decode_step(net, dtype)
+    emit('live_' + str(cfg.LSTM_IMPL), time_windows(live, params, {},
+                                                    image, t_steps))
+
+    old_impl = str(cfg.LSTM_IMPL)
+    try:
+        cfg.LSTM_IMPL = 'jax'
+        portable = make_decode_step(net, dtype)
+        emit('live_jax_portable', time_windows(portable, params, {},
+                                               image, t_steps))
+    finally:
+        cfg.LSTM_IMPL = old_impl
+
+    with tempfile.TemporaryDirectory() as d:
+        export_decoder(net, jax.tree.map(np.asarray, params), d,
+                       buckets=[width], batch=batch, platforms=(platform,))
+        frozen = ExportedDecoder(d)._programs[width]
+        emit('frozen_artifact', time_windows(frozen.call, image, t_steps))
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--beam_width', type=int, default=16)
+    ap.add_argument('--frozen', action='store_true',
+                    help='also bench the frozen serving artifact vs the '
+                         'live decode path (serve.py portability cost)')
     args = ap.parse_args()
     cfg.BEAM_WIDTH = args.beam_width
     print('devices:', jax.devices(), file=sys.stderr)
+    if args.frozen:
+        cfg.DECODER = 'beam'
+        bench_frozen_vs_live('default_W96', 96, args.batch)
+        return
     out = []
     out += bench_shape('default_W96', 96, args.batch)
     # longline bucket: reconfigure time/label geometry like longline.yml

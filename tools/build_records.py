@@ -40,7 +40,18 @@ if __name__ == '__main__':
     ap.add_argument('--synth', type=int, default=None,
                     help='render N captchas directly instead of reading a dir')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--cfg', default=None,
+                    help='experiment yml: --synth renders with ITS length/'
+                         'charset/renderer (e.g. lstm/longline.yml)')
+    ap.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
+                    default=None, help='config overrides')
     args = ap.parse_args()
+    if args.cfg or args.set_cfgs:
+        from lstm_ctc_ocr_tpu.config import cfg_from_file, cfg_from_list
+        if args.cfg:
+            cfg_from_file(args.cfg)
+        if args.set_cfgs:
+            cfg_from_list(args.set_cfgs)
     if args.synth:
         n = synth_to_records(args.synth, args.out, args.seed)
     else:

@@ -72,12 +72,24 @@ def main():
         raise SystemExit('no checkpoint in {} (nor a release in {})'.format(
             out_dir, checkpoint.release_dir(out_dir)))
     path, step = found
-    params = checkpoint.restore({'params': params}, path)['params']
+    bn_state = net.init_bn_state()
+    if str(cfg.BN_EVAL) == 'moving' and bn_state:
+        if not checkpoint.has_keys_under(path, 'bn_state'):
+            raise SystemExit(
+                'BN_EVAL=moving but {} has no bn_state — run '
+                'tools/calibrate_bn.py first'.format(path))
+        state = checkpoint.restore({'params': params, 'bn_state': bn_state},
+                                   path)
+        params, bn_state = state['params'], state['bn_state']
+    else:
+        params = checkpoint.restore({'params': params}, path)['params']
+        bn_state = {}
     print('freezing {} (step {})'.format(path, step))
 
     manifest = export_decoder(net, params, export_dir, buckets=buckets,
                               batch=args.batch,
-                              platforms=tuple(args.platform.split(',')))
+                              platforms=tuple(args.platform.split(',')),
+                              bn_state=bn_state)
     sizes = {f: os.path.getsize(os.path.join(export_dir, f)) // 1024
              for f in sorted(os.listdir(export_dir))}
     print(json.dumps({'export_dir': export_dir, 'kib': sizes,
@@ -100,7 +112,7 @@ def main():
                 ts = np.full((manifest['batch'],), w // 4 - 1, np.int32)
                 got = np.asarray(dec._programs[w].call(jnp.asarray(img),
                                                        jnp.asarray(ts)))
-                want = np.asarray(live(params, jnp.asarray(img),
+                want = np.asarray(live(params, bn_state, jnp.asarray(img),
                                        jnp.asarray(ts)))
                 assert (got == want).all(), 'mismatch at bucket {}'.format(w)
                 print('bucket {}: artifact == live decode'.format(w))

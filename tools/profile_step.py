@@ -138,18 +138,19 @@ def main():
         ms = timed(fn, fargs, windows=args.windows, calls=args.calls)
         rows.append(report(name, ms, flops_of(fn, fargs), peak))
 
-    # donated full step: thread params/opt through calls like bench.py
-    sfl = flops_of(step, (params, opt_state, image, label, label_len,
+    # donated full step: thread params/opt/bn through calls like bench.py
+    bn0 = net.init_bn_state()
+    sfl = flops_of(step, (params, opt_state, bn0, image, label, label_len,
                           time_step, 0))
-    p, o = params, opt_state
-    p, o, total, _ = step(p, o, image, label, label_len, time_step, 0)
+    p, o, bn = params, opt_state, bn0
+    p, o, bn, total, _ = step(p, o, bn, image, label, label_len, time_step, 0)
     float(total)
     rates = []
     for _ in range(args.windows):
         t0 = time.perf_counter()
         for i in range(args.calls):
-            p, o, total, _ = step(p, o, image, label, label_len,
-                                  time_step, i)
+            p, o, bn, total, _ = step(p, o, bn, image, label, label_len,
+                                      time_step, i)
         float(total)
         rates.append((time.perf_counter() - t0) / args.calls * 1e3)
     rates.sort()

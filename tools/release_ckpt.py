@@ -71,21 +71,34 @@ def main():
         path, step = max(ckpts, key=lambda x: x[1])
 
     import numpy as np
+
+    def nest(flat, prefix):
+        """flat '<prefix>/<a>/<b>' keys -> nested dict pytree."""
+        tree = {}
+        for k, v in flat.items():
+            parts = k.split('/')[1:]
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = v
+        return tree
+
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files if k.startswith('params/')}
+        bn_flat = {k: data[k] for k in data.files
+                   if k.startswith('bn_state/')}
     if not flat:
         raise SystemExit('snapshot {} has no params/ leaves'.format(path))
-    # rebuild a nested dict pytree from the flat keys (params/<a>/<b>/...)
-    tree = {}
-    for k, v in flat.items():
-        parts = k.split('/')[1:]
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
+    tree = nest(flat, 'params')
+    # moving BN statistics (BN_EVAL-era snapshots) ship inside the release
+    # so BN_EVAL=moving eval works from a fresh clone
+    bn_tree = nest(bn_flat, 'bn_state') if bn_flat else None
 
     rel = checkpoint.save_release(tree, out_dir, step,
-                                  dtype=None if args.f32 else 'float16')
+                                  dtype=None if args.f32 else 'float16',
+                                  bn_state=bn_tree)
+    if bn_tree:
+        print('release carries moving BN statistics (BN_EVAL=moving ready)')
     size_mb = os.path.getsize(rel) / 1e6
     print('released {} ({} MB, step {})'.format(rel, round(size_mb, 1), step))
 
