@@ -92,7 +92,8 @@ def snapshot_name(step: int) -> str:
 _CKPT_RE = re.compile(r'_iter_(\d+)\.ckpt\.npz$')
 
 
-def save(state, output_dir: str, step: int, max_to_keep: int = 100) -> str:
+def save(state, output_dir: str, step: int, max_to_keep: int = 100,
+         keep_every: int = 0) -> str:
     os.makedirs(output_dir, exist_ok=True)
     fname = os.path.join(output_dir, snapshot_name(step))
     flat = flatten_state(state)
@@ -102,10 +103,19 @@ def save(state, output_dir: str, step: int, max_to_keep: int = 100) -> str:
     os.replace(tmp, fname)
     # prune beyond max_to_keep (Saver parity, train.py:18) — but only OUR
     # family of snapshots: a second experiment sharing output_dir under a
-    # different SNAPSHOT_PREFIX/INFIX must not have its files deleted
+    # different SNAPSHOT_PREFIX/INFIX must not have its files deleted.
+    # ``keep_every`` (the solver passes SNAPSHOT_ITERS) exempts on-cadence
+    # snapshots from pruning: near convergence the low-loss trigger
+    # (train.py:139-144 parity) can fire every few steps, and without the
+    # exemption its spam evicts the periodic history — a 4k-iter-old
+    # checkpoint you wanted to resume from silently disappears.
     ckpts = sorted(list_checkpoints(output_dir, current_only=True),
                    key=lambda x: x[1])
-    for path, _ in ckpts[:-max_to_keep] if max_to_keep else []:
+    prunable = [c for c in ckpts
+                if not (keep_every and c[1] % keep_every == 0)]
+    n_spare = max_to_keep - (len(ckpts) - len(prunable))
+    for path, _ in prunable[:-n_spare] if max_to_keep and n_spare > 0 \
+            else (prunable if max_to_keep else []):
         try:
             os.remove(path)
         except OSError:

@@ -215,7 +215,12 @@ class SolverWrapper:
         self.writer = SummaryWriter(logdir, flush_secs=5)
 
     def snapshot(self, state, step):
-        fname = checkpoint.save(state, self.output_dir, step, max_to_keep=100)
+        # keep_every exempts the SNAPSHOT_ITERS cadence from pruning so
+        # low-loss-trigger spam near convergence can't evict the periodic
+        # history (checkpoint.save docstring)
+        fname = checkpoint.save(state, self.output_dir, step,
+                                max_to_keep=100,
+                                keep_every=int(cfg.TRAIN.SNAPSHOT_ITERS))
         print('Wrote snapshot to: {:s}'.format(fname))
 
     def _make_train_stream(self, batch_size):

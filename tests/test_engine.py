@@ -217,3 +217,27 @@ def test_release_keeps_out_of_range_leaves_f32(tmp_path):
     rel = checkpoint.save_release(params, out_dir, 1)
     with np.load(rel) as data:
         assert data['params/big'].dtype == np.float32
+
+
+def test_checkpoint_prune_keeps_cadence_snapshots(tmp_path):
+    """max_to_keep pruning must not evict on-cadence (SNAPSHOT_ITERS grid)
+    snapshots: near convergence the low-loss trigger writes a snapshot
+    every few steps, and without the keep_every exemption that spam
+    silently deletes the periodic history (the checkpoints a resume or a
+    release would want)."""
+    from lstm_ctc_ocr_tpu.engine import checkpoint
+    state = {'params': {'a': jnp.zeros((2,))}}
+    d = str(tmp_path)
+    # cadence snapshots at 1000/2000, then low-loss spam at 2001..2006
+    for step in (1000, 2000, 2001, 2002, 2003, 2004, 2005, 2006):
+        checkpoint.save(state, d, step, max_to_keep=4, keep_every=1000)
+    steps = sorted(s for _, s in checkpoint.list_checkpoints(d))
+    # cadence files survive; only the newest (4 - #cadence) spam files stay
+    assert 1000 in steps and 2000 in steps, steps
+    assert steps == [1000, 2000, 2005, 2006], steps
+    # keep_every=0 reproduces the plain newest-N policy
+    d2 = str(tmp_path / 'plain')
+    for step in (1000, 2000, 2001, 2002):
+        checkpoint.save(state, d2, step, max_to_keep=2)
+    steps2 = sorted(s for _, s in checkpoint.list_checkpoints(d2))
+    assert steps2 == [2001, 2002], steps2
