@@ -288,6 +288,11 @@ if __name__ == '__main__':
                          '(~49%% MFU vs ~37%% at the reference\'s 64). '
                          'The TF-CPU baseline is measured at the same batch.')
     ap.add_argument('--width', type=int, default=96)
+    ap.add_argument('--cfg', default=None,
+                    help='experiment YAML (e.g. lstm/longline.yml) merged '
+                         'before --set, so variant sweeps bench the config '
+                         "they claim to (label lengths drive the CTC "
+                         "kernel's state count S=2L+1)")
     ap.add_argument('--refresh-baseline', action='store_true')
     ap.add_argument('--no-baseline', action='store_true',
                     help='skip the TF-CPU baseline (variant sweeps at '
@@ -304,6 +309,9 @@ if __name__ == '__main__':
                          '(impl A/Bs; the CLI surface semantics)')
     args = ap.parse_args()
 
+    if args.cfg:
+        from lstm_ctc_ocr_tpu.config import cfg_from_file
+        cfg_from_file(args.cfg)
     if args.set_cfgs:
         from lstm_ctc_ocr_tpu.config import cfg_from_list
         cfg_from_list(args.set_cfgs)

@@ -132,7 +132,12 @@ __C.SPACE_TOKEN = ''
 # Width buckets: every host batch is right-padded to the smallest bucket that
 # fits, so XLA compiles one program per bucket instead of one per batch width.
 __C.BUCKETS = [64, 96, 128, 160, 192, 224, 256]
-__C.CTC_IMPL = 'pallas'        # 'pallas' | 'jax'   (Pallas kernel vs lax.scan)
+__C.CTC_IMPL = 'jax'           # 'jax' (lax.scan, default) | 'pallas'.
+                               # Measured on v5e at BOTH benched shapes the
+                               # scan wins slightly (W=96: 16.3 vs 16.9
+                               # ms/step; longline W=448/S=49: 38.7 vs 39.7
+                               # — PERF.md variant tables), so it is the
+                               # default; the Pallas kernel stays as an A/B.
 # 'shifted' lowers the channel-heavy convs to sums of shifted matmuls
 # (ops/conv.py) instead of XLA's native conv — same numerics, better MXU
 # shapes at this model's tiny post-pool spatial extents. 'xla' = native conv.

@@ -13,8 +13,11 @@ discipline as training, so a server never recompiles.
 * The LSTM runs through the portable lax.scan path inside the artifact
   (``LSTM_IMPL='jax'``): Pallas kernels are Mosaic-lowered for a specific
   TPU generation, which would pin the artifact to the exporting host's
-  hardware. Decode throughput is conv-dominated (PERF.md), so this costs
-  little and buys a hardware-agnostic artifact.
+  hardware. Decode throughput is conv-dominated, so this is cheap —
+  measured at +1.3% end-to-end decode latency for the frozen artifact vs
+  the live Pallas path (PERF.md "Frozen serving artifact vs live decode";
+  ``tools/bench_decode.py --frozen``) — and buys a hardware-agnostic
+  artifact.
 * ``ExportedDecoder`` is the loader: manifest + per-bucket programs, with
   the same preprocessing contract as eval (engine/test.py:prepare_single).
 * Inherited reference quirk: under the default ``BN_EVAL: batch`` BN uses
