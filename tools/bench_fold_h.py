@@ -157,10 +157,13 @@ def main():
     params = make_params(rng)
     n, w = args.batch, args.width
 
-    # numeric equivalence in f32 (small batch: this is a correctness gate)
+    # numeric equivalence in f32 (small batch: this is a correctness gate).
+    # Pin true-f32 matmul passes: TPU "f32" convs default to bf16 passes,
+    # which would fail the 1e-4 gate for numerics reasons, not layout ones.
     x32 = jnp.asarray(rng.randn(8, w, 4, 256).astype(np.float32))
-    a = jax.jit(late_stack_baseline)(params, x32)
-    b = jax.jit(late_stack_folded)(params, x32)
+    with jax.default_matmul_precision('float32'):
+        a = jax.jit(late_stack_baseline)(params, x32)
+        b = jax.jit(late_stack_folded)(params, x32)
     assert a.shape == b.shape, (a.shape, b.shape)
     err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
     print(json.dumps({'check': 'fold_h equivalence', 'rel_err': err,
