@@ -160,9 +160,11 @@ def bench_sustained(seconds, batch):
     import jax
     import jax.numpy as jnp
     from lstm_ctc_ocr_tpu.config import cfg
+    import numpy as np
     from lstm_ctc_ocr_tpu.engine.train import (compute_dtype,
                                                enable_persistent_compile_cache,
                                                make_optimizer,
+                                               make_train_chunk_step,
                                                make_train_stream,
                                                make_train_step)
     from lstm_ctc_ocr_tpu.models.factory import get_network
@@ -178,18 +180,45 @@ def bench_sustained(seconds, batch):
     opt_state = tx.init(params)
     bn_state = net.init_bn_state()
     step = make_train_step(net, tx, compute_dtype())
+    n_dispatch = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
+    chunk_step = (make_train_chunk_step(net, tx, compute_dtype(), n_dispatch)
+                  if n_dispatch > 1 else None)
     stream = make_train_stream(batch)
+    holdover = []     # same-bucket run collector, as in SolverWrapper
+
+    def next_group():
+        group = list(holdover)
+        del holdover[:]
+        while len(group) < n_dispatch:
+            b = next(stream)
+            if group and b.image.shape[1] != group[0].image.shape[1]:
+                holdover.append(b)
+                break
+            group.append(b)
+        return group
 
     def run(n_steps, it0):
         nonlocal params, opt_state, bn_state
         it = it0
-        for _ in range(n_steps):
-            b = next(stream)
-            params, opt_state, bn_state, total, _ = step(
-                params, opt_state, bn_state,
-                jnp.asarray(b.image), jnp.asarray(b.label),
-                jnp.asarray(b.label_len), jnp.asarray(b.time_step), it)
-            it += 1
+        total = None
+        while it - it0 < n_steps:
+            group = next_group()
+            if chunk_step is not None and len(group) == n_dispatch:
+                params, opt_state, bn_state, totals, _ = chunk_step(
+                    params, opt_state, bn_state,
+                    jnp.asarray(np.stack([b.image for b in group])),
+                    jnp.asarray(np.stack([b.label for b in group])),
+                    jnp.asarray(np.stack([b.label_len for b in group])),
+                    jnp.asarray(np.stack([b.time_step for b in group])), it)
+                total = totals[-1]
+            else:
+                for j, b in enumerate(group):
+                    params, opt_state, bn_state, total, _ = step(
+                        params, opt_state, bn_state,
+                        jnp.asarray(b.image), jnp.asarray(b.label),
+                        jnp.asarray(b.label_len), jnp.asarray(b.time_step),
+                        it + j)
+            it += len(group)
         float(total)        # close the window: forces the step chain
         return it
 
@@ -198,12 +227,12 @@ def bench_sustained(seconds, batch):
     it = run(30, 0)
 
     t0 = time.perf_counter()
-    steps_done = 0
+    it_meas0 = it
     chunk = 20
     while time.perf_counter() - t0 < seconds:
-        it = run(chunk, it)
-        steps_done += chunk
+        it = run(chunk, it)   # run() rounds up to whole dispatch groups
     dt = time.perf_counter() - t0
+    steps_done = it - it_meas0
     return steps_done * batch / dt, steps_done, dt
 
 

@@ -109,6 +109,16 @@ __C.TRAIN.DTYPE = 'bfloat16'       # compute dtype on TPU; params stay fp32
 __C.TRAIN.NUM_WORKERS = 12         # host synth workers (gen.py: num_workers=12)
 __C.TRAIN.LOSS_MIN_SNAPSHOT = 0.015  # snapshot when loss dips below the
                                      # tracked minimum (train.py:109,139-144)
+__C.TRAIN.STEPS_PER_DISPATCH = 1   # K>1: one jit dispatch runs K optimizer
+                                   # steps via lax.scan over K pre-staged
+                                   # same-bucket batches — amortizes the
+                                   # per-step host dispatch/tunnel round-trip
+                                   # (the sustained-throughput bottleneck on
+                                   # weak hosts, PERF.md host-pipeline
+                                   # section). K=1 (default) is the exact
+                                   # reference-parity loop; the key stream,
+                                   # lr schedule and update math are
+                                   # identical for any K (tests/test_multistep.py)
 
 __C.VAL = AttrDict()
 __C.VAL.TXT = 'annotation_val.txt'

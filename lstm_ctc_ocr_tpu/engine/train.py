@@ -97,30 +97,16 @@ def make_loss_fn(net, dtype):
     return loss_fn
 
 
-def make_train_step(net, tx, dtype, in_shardings=None, out_shardings=None):
-    """The jitted train step takes the *iteration number* (a traced int32
-    scalar), not a PRNG key: the per-step key is derived on-device via
-    ``fold_in``. A host-side ``jax.random.split`` per iteration is a tiny
-    device op whose dispatch round-trip serializes the pipeline over the
-    TPU tunnel (it roughly tripled the Python-side dispatch rate when
-    removed; audited end-to-end numbers live in PERF.md). fold_in(base, it)
-    is also deterministic per iteration, so resume reproduces the exact
-    key stream.
-
-    ``in_shardings``/``out_shardings`` annotate the same program for a
-    device mesh (parallel/mesh.py delegates here, so single-chip and
-    multi-chip training are literally the same step function)."""
+def _make_sgd_step(net, tx, dtype):
+    """The un-jitted single optimizer step shared by :func:`make_train_step`
+    (K=1 dispatch) and :func:`make_train_chunk_step` (K-step lax.scan), so
+    the two paths are the same math by construction."""
     loss_fn = make_loss_fn(net, dtype)
     base_key = jax.random.PRNGKey(int(cfg.RNG_SEED))
     momentum = float(cfg.BN_MOMENTUM)
-    jit_kwargs = {'donate_argnums': (0, 1, 2)}
-    if in_shardings is not None:
-        jit_kwargs['in_shardings'] = in_shardings
-        jit_kwargs['out_shardings'] = out_shardings
 
-    @functools.partial(jax.jit, **jit_kwargs)
-    def train_step(params, opt_state, bn_state, image, label, label_len,
-                   time_step, step_idx):
+    def sgd_step(params, opt_state, bn_state, image, label, label_len,
+                 time_step, step_idx):
         rng = jax.random.fold_in(base_key, step_idx)
         (total, (ctc, bn_batch)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(
@@ -137,7 +123,73 @@ def make_train_step(net, tx, dtype, in_shardings=None, out_shardings=None):
             bn_state, bn_batch)
         return params, opt_state, bn_state, total, ctc
 
-    return train_step
+    return sgd_step
+
+
+def make_train_step(net, tx, dtype, in_shardings=None, out_shardings=None):
+    """The jitted train step takes the *iteration number* (a traced int32
+    scalar), not a PRNG key: the per-step key is derived on-device via
+    ``fold_in``. A host-side ``jax.random.split`` per iteration is a tiny
+    device op whose dispatch round-trip serializes the pipeline over the
+    TPU tunnel (it roughly tripled the Python-side dispatch rate when
+    removed; audited end-to-end numbers live in PERF.md). fold_in(base, it)
+    is also deterministic per iteration, so resume reproduces the exact
+    key stream.
+
+    ``in_shardings``/``out_shardings`` annotate the same program for a
+    device mesh (parallel/mesh.py delegates here, so single-chip and
+    multi-chip training are literally the same step function)."""
+    sgd_step = _make_sgd_step(net, tx, dtype)
+    jit_kwargs = {'donate_argnums': (0, 1, 2)}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
+    return functools.partial(jax.jit, **jit_kwargs)(sgd_step)
+
+
+def make_train_chunk_step(net, tx, dtype, n_steps,
+                          in_shardings=None, out_shardings=None):
+    """K optimizer steps per dispatch (cfg.TRAIN.STEPS_PER_DISPATCH).
+
+    One jit call runs ``n_steps`` consecutive optimizer steps as a
+    ``lax.scan`` over K pre-staged same-bucket batches (stacked on a new
+    leading axis), returning the per-step loss arrays. This is the
+    TPU-idiomatic host training loop: on hosts where the per-dispatch
+    Python + tunnel round-trip dominates (PERF.md's sustained table shows
+    it eating ~75% of the wall clock on this 1-core box), the overhead
+    amortizes K-fold while the device-side math stays step-for-step
+    IDENTICAL to the 1-step program — same ``fold_in(base, step)`` key
+    stream, same optax schedule counts, same BN-EMA updates
+    (tests/test_multistep.py asserts bit-equality of the trajectories).
+
+    The reference has no analogue: its sess.run returns the loss
+    synchronously every iteration (/root/reference/lib/lstm/train.py:121-138).
+    """
+    sgd_step = _make_sgd_step(net, tx, dtype)
+    jit_kwargs = {'donate_argnums': (0, 1, 2)}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
+
+    @functools.partial(jax.jit, **jit_kwargs)
+    def train_chunk(params, opt_state, bn_state, images, labels, label_lens,
+                    time_steps, step_idx0):
+        def body(carry, xs):
+            params, opt_state, bn_state = carry
+            image, label, label_len, time_step, idx = xs
+            params, opt_state, bn_state, total, ctc = sgd_step(
+                params, opt_state, bn_state, image, label, label_len,
+                time_step, idx)
+            return (params, opt_state, bn_state), (total, ctc)
+
+        idxs = jnp.asarray(step_idx0, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32)
+        (params, opt_state, bn_state), (totals, ctcs) = jax.lax.scan(
+            body, (params, opt_state, bn_state),
+            (images, labels, label_lens, time_steps, idxs))
+        return params, opt_state, bn_state, totals, ctcs
+
+    return train_chunk
 
 
 def make_decode_step(net, dtype, in_shardings=None, out_shardings=None):
@@ -292,6 +344,8 @@ class SolverWrapper:
                     {'params': params}, self.pre_train)['params']
             print('Loaded pre-trained weights from {}'.format(self.pre_train))
 
+        n_dispatch = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
+        chunk_step = None
         mesh = self._select_mesh(n)
         if mesh is not None:
             from ..parallel import mesh as pmesh
@@ -307,15 +361,29 @@ class SolverWrapper:
                 def put(*arrays):
                     """Local shard -> global batch-sharded arrays (multi-host)."""
                     return pmesh.shard_host_batch(mesh, *arrays)
+
+                def put_chunk(*arrays):
+                    return pmesh.shard_host_chunk(mesh, *arrays)
             else:
                 def put(*arrays):
                     return pmesh.shard_batch(mesh, *arrays)
+
+                def put_chunk(*arrays):
+                    return pmesh.shard_chunk(mesh, *arrays)
+            if n_dispatch > 1:
+                chunk_step = pmesh.make_parallel_train_chunk_step(
+                    self.net, tx, dtype, mesh, n_dispatch)
         else:
             train_step = make_train_step(self.net, tx, dtype)
             decode_step = make_decode_step(self.net, dtype)
 
             def put(*arrays):
                 return tuple(jnp.asarray(a) for a in arrays)
+
+            put_chunk = put
+            if n_dispatch > 1:
+                chunk_step = make_train_chunk_step(
+                    self.net, tx, dtype, n_dispatch)
 
         # each host renders/reads only its local slice of the global batch
         n_proc = jax.process_count()
@@ -339,17 +407,26 @@ class SolverWrapper:
         loss_min = float(cfg.TRAIN.LOSS_MIN_SNAPSHOT)
         val_batch = None
 
-        # The loss scalar of step N is consumed after step N+1 is submitted:
-        # by then step N has finished on device, so float() never stalls the
-        # pipeline and the host renders batch N+2 while the device runs N+1.
-        # (The reference's sess.run returns loss synchronously every iter,
-        # train.py:121-130 — on TPU that would serialize host and device.)
-        # Snapshots and validation stay SYNCHRONOUS at their own cadence so
-        # a checkpoint named iter_K always holds exactly the post-step-K
-        # state (resume replays nothing); only the loss-triggered low-loss
-        # snapshot is decided one step late, and is therefore named for the
-        # step whose params it actually contains.
-        pending = None                  # (it, ctc_array, step_seconds)
+        # The loss scalars of dispatch group N are consumed after group N+1
+        # is submitted: by then group N has finished on device, so the
+        # readback never stalls the pipeline and the host renders the next
+        # batches while the device runs the current group. (The reference's
+        # sess.run returns loss synchronously every iter, train.py:121-130 —
+        # on TPU that would serialize host and device.) Snapshots and
+        # validation stay SYNCHRONOUS at their own cadence so a checkpoint
+        # named iter_K always holds exactly the post-step-K state (resume
+        # replays nothing); only the loss-triggered low-loss snapshot is
+        # decided one group late, and is therefore named for the step whose
+        # params it actually contains.
+        #
+        # A "group" is one host dispatch: a single step (the K=1 default —
+        # exact reference-parity loop) or cfg.TRAIN.STEPS_PER_DISPATCH
+        # consecutive same-bucket steps run on-device by the lax.scan chunk
+        # program (make_train_chunk_step). Groups are clipped so snapshot/val
+        # boundaries always land on a group end, and short runs (width
+        # change, boundary remainder) fall back to the 1-step program — the
+        # compiled-signature set stays at most {1-step, K-step} per bucket.
+        pending = None                  # (first_it, totals, group_len)
 
         def run_val(it):
             nonlocal val_batch
@@ -371,66 +448,115 @@ class SolverWrapper:
             self.writer.add_scalar('val_accuracy', acc, it)
             print('accuracy: {:.5f}'.format(acc), flush=True)
 
-        def process(it, total_arr, step_secs, cur_it):
-            """Lagged per-iter bookkeeping for step ``it`` (params/opt_state
-            have since advanced through step ``cur_it``). The displayed and
-            logged value is the TOTAL loss (CTC + L2 collection), matching
-            the reference's summary/display scalar (network.py:660-662 into
-            train.py:135-138)."""
+        def process_group(first_it, totals, secs_per_iter, cur_end):
+            """Lagged bookkeeping for the dispatch group starting at step
+            ``first_it`` (params/opt_state have since advanced through step
+            ``cur_end``). The displayed and logged value is the TOTAL loss
+            (CTC + L2 collection), matching the reference's summary/display
+            scalar (network.py:660-662 into train.py:135-138)."""
             nonlocal loss_min
-            loss_val = float(total_arr)
-            self.writer.add_scalar('loss', loss_val, it)
+            # one readback for the whole group: a [K] array from the chunk
+            # program, or a list of lazy per-step device scalars
+            vals = np.asarray(totals).reshape(-1).tolist()
+            for j, loss_val in enumerate(vals):
+                it = first_it + j
+                self.writer.add_scalar('loss', loss_val, it)
+                if it % cfg.TRAIN.DISPLAY == 0:
+                    # the optimizer's schedule count before step `it` is it-1
+                    # (fresh: steps 1..it-1 ran; resume: snapshot at step S
+                    # holds count S and restarts at it=S+1) — print the lr
+                    # the update actually used, not the next boundary's value
+                    lr_now = float(lr_schedule(it - 1))
+                    print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
+                          (it, max_iters, loss_val, lr_now), end=' ')
+                    print('speed: {:.3f}s / iter'.format(secs_per_iter),
+                          flush=True)
 
-            if it % cfg.TRAIN.DISPLAY == 0:
-                # the optimizer's schedule count before step `it` is it-1
-                # (fresh: steps 1..it-1 ran; resume: snapshot at step S holds
-                # count S and restarts at it=S+1) — print the lr the update
-                # actually used, not the next boundary's value
-                lr_now = float(lr_schedule(it - 1))
-                print('iter: %d / %d, total loss: %.7f, lr: %.7f' %
-                      (it, max_iters, loss_val, lr_now), end=' ')
-                print('speed: {:.3f}s / iter'.format(step_secs), flush=True)
-
-            if loss_val < loss_min:
-                print('loss: ', loss_val, end=' ')
-                loss_min = loss_val
-                # params currently in scope are post-step cur_it
+            lo = min(vals)
+            if lo < loss_min:
+                print('loss: ', lo, end=' ')
+                loss_min = lo
+                # params currently in scope are post-step cur_end; within a
+                # group the trigger collapses to one snapshot (the params
+                # the mid-group minima produced no longer exist)
                 self.snapshot({'params': params, 'opt_state': opt_state,
-                               'bn_state': bn_state}, cur_it + 1)
-                run_val(it)
+                               'bn_state': bn_state}, cur_end + 1)
+                run_val(first_it + int(np.argmin(vals)))
+
+        K = n_dispatch
+        holdover = []                # width-change carry-over, at most 1 batch
+
+        def next_batches(target):
+            """Up to ``target`` consecutive same-width batches, stream order
+            preserved; a mid-run bucket change ends the run early and the odd
+            batch carries over into the next group."""
+            group = list(holdover)
+            del holdover[:]
+            while len(group) < target:
+                b = next(train_gen)
+                if group and b.image.shape[1] != group[0].image.shape[1]:
+                    holdover.append(b)
+                    break
+                group.append(b)
+            return group
 
         try:
             import time as _time
-            iter_t0 = None
-            for it in range(restore_iter, max_iters):
+            group_t0 = None
+            it = restore_iter
+            while it < max_iters:
                 prof.step(it)
-                # wall time between successive iterations IS the true s/iter:
+                # wall time between successive dispatches IS the true s/iter:
                 # train_step returns at dispatch (async), and the wait for
-                # the device lands in process()'s lagged float() readback —
-                # timing just the dispatch would exclude all device time
+                # the device lands in the lagged group readback — timing just
+                # the dispatch would exclude all device time
                 now = _time.perf_counter()
-                step_secs = now - iter_t0 if iter_t0 is not None else 0.0
-                iter_t0 = now
-                b = next(train_gen)
-                # per-step key folds in on-device (make_train_step); a host
-                # split here would add a dispatch round-trip every iter
-                params, opt_state, bn_state, total, ctc = train_step(
-                    params, opt_state, bn_state,
-                    *put(b.image, b.label, b.label_len, b.time_step), it)
+                secs_per_iter = ((now - group_t0) / pending[2]
+                                 if group_t0 is not None else 0.0)
+                group_t0 = now
+                # clip the group so snapshot/val boundaries land on group
+                # ends (the cadence actions need exactly-post-step-K params)
+                target = min(
+                    K, max_iters - it,
+                    cfg.TRAIN.SNAPSHOT_ITERS - it % cfg.TRAIN.SNAPSHOT_ITERS,
+                    cfg.VAL.VAL_STEP - it % cfg.VAL.VAL_STEP)
+                group = next_batches(K if target == K else 1)
+                m = len(group)
+                if chunk_step is not None and m == K:
+                    params, opt_state, bn_state, totals, ctcs = chunk_step(
+                        params, opt_state, bn_state,
+                        *put_chunk(
+                            np.stack([b.image for b in group]),
+                            np.stack([b.label for b in group]),
+                            np.stack([b.label_len for b in group]),
+                            np.stack([b.time_step for b in group])), it)
+                else:
+                    totals = []
+                    for j, b in enumerate(group):
+                        # per-step key folds in on-device (make_train_step);
+                        # a host split here would add a dispatch round-trip
+                        params, opt_state, bn_state, total, ctc = train_step(
+                            params, opt_state, bn_state,
+                            *put(b.image, b.label, b.label_len, b.time_step),
+                            it + j)
+                        totals.append(total)
                 if pending is not None:
-                    process(pending[0], pending[1], step_secs, cur_it=it)
-                pending = (it, total)
+                    process_group(pending[0], pending[1], secs_per_iter,
+                                  cur_end=it + m - 1)
+                pending = (it, totals, m)
 
-                if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                it_end = it + m - 1
+                if (it_end + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                     self.snapshot({'params': params, 'opt_state': opt_state,
-                                   'bn_state': bn_state}, it + 1)
-                if (it + 1) % cfg.VAL.VAL_STEP == 0:
-                    run_val(it)
+                                   'bn_state': bn_state}, it_end + 1)
+                if (it_end + 1) % cfg.VAL.VAL_STEP == 0:
+                    run_val(it_end)
+                it += m
             if pending is not None:
-                final_secs = _time.perf_counter() - iter_t0 \
-                    if iter_t0 is not None else 0.0
-                process(pending[0], pending[1], final_secs,
-                        cur_it=pending[0])
+                final_secs = ((_time.perf_counter() - group_t0) / pending[2]
+                              if group_t0 is not None else 0.0)
+                process_group(pending[0], pending[1], final_secs,
+                              cur_end=pending[0] + pending[2] - 1)
         finally:
             prof.close()
             train_gen.close()

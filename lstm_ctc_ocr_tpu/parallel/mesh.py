@@ -95,6 +95,27 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = 'data'):
     return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
 
 
+def chunk_sharded(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Sharding for K-step dispatch chunks [K, batch, ...]: the scan (step)
+    axis replicated, the batch axis sharded."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def shard_chunk(mesh: Mesh, *arrays, axis: str = 'data'):
+    """Host arrays [K, batch, ...] -> batch-axis-sharded device arrays."""
+    sh = chunk_sharded(mesh, axis)
+    return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
+
+
+def shard_host_chunk(mesh: Mesh, *arrays, axis: str = 'data'):
+    """Per-host local chunks [K, local_batch, ...] -> global arrays sharded
+    on the batch axis (multi-host analogue of :func:`shard_chunk`)."""
+    sh = chunk_sharded(mesh, axis)
+    return tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a))
+        for a in arrays)
+
+
 def make_parallel_train_step(net, tx, dtype, mesh: Mesh, axis: str = 'data'):
     """DP train step: params/opt replicated, batch sharded; grads psum'd by
     XLA. Delegates to the single-chip factory with sharding annotations, so
@@ -109,6 +130,20 @@ def make_parallel_train_step(net, tx, dtype, mesh: Mesh, axis: str = 'data'):
     return make_train_step(
         net, tx, dtype,
         in_shardings=(repl, repl, repl, dsh, dsh, dsh, dsh, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
+
+
+def make_parallel_train_chunk_step(net, tx, dtype, mesh: Mesh, n_steps: int,
+                                   axis: str = 'data'):
+    """DP K-step dispatch chunk (engine/train.py make_train_chunk_step with
+    mesh annotations): state replicated, the stacked batches sharded on
+    their batch axis (axis 1), per-step loss arrays replicated."""
+    from ..engine.train import make_train_chunk_step
+    repl = replicated(mesh)
+    csh = chunk_sharded(mesh, axis)
+    return make_train_chunk_step(
+        net, tx, dtype, n_steps,
+        in_shardings=(repl, repl, repl, csh, csh, csh, csh, repl),
         out_shardings=(repl, repl, repl, repl, repl))
 
 
