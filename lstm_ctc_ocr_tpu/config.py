@@ -170,6 +170,14 @@ __C.BEAM_MERGE_REPEATED = False
 __C.BN_EVAL = 'batch'          # 'batch' (reference parity) | 'moving'
 __C.BN_MOMENTUM = 0.99         # EMA decay of the moving mean/variance
 __C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev path)
+# Host->device image dtype for the bucketed TPU path: 'uint8' ships raw
+# pixels and normalizes on device (x.astype(f32)/255 as the graph's first
+# fused op, models/network.py:apply) — 4x less host->device traffic and a
+# 4x cheaper host batch assembly (memcpy instead of astype+divide), with
+# BIT-IDENTICAL numerics (the exact same f32 division runs on device
+# instead of host; tests/test_data.py pins loss+grad equality). 'float32'
+# reproduces the reference's host-side /255 (gen.py:63) on the wire.
+__C.TRANSFER_DTYPE = 'uint8'   # 'uint8' | 'float32'
 # Device parallelism for the training CLI: 'auto' builds a DP mesh over every
 # visible chip (largest device count dividing the batch sizes), 'off' forces
 # the single-device step. The reference is single-GPU (train_net.py:59);

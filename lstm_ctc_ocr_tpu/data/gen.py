@@ -121,7 +121,11 @@ def group_batch(imgs: List[np.ndarray], labels: List[str]):
 class DeviceBatch:
     """A fixed-shape batch ready for host->device transfer.
 
-    image:      float32 [N, W_bucket, 32]  (width-major, /255, zero right-pad)
+    image:      [N, W_bucket, 32] width-major, zero right-pad. Dtype is the
+                transfer contract (cfg.TRANSFER_DTYPE): uint8 raw pixels
+                (default — the graph normalizes /255 on device,
+                models/network.py:apply) or float32 already /255
+                (the reference's host-side layout, gen.py:63).
     label:      int32   [N, L_max]          dense labels, 0-padded
     label_len:  int32   [N]
     time_step:  int32   [N]                 valid frames = resized W//4 - 1
@@ -170,16 +174,26 @@ def bucket_batch(imgs: List[np.ndarray], labels: List[str],
 
     n = len(imgs)
     l_max = max_label_len()
+    # uint8 transfer (cfg.TRANSFER_DTYPE, default): ship raw pixels and let
+    # the graph normalize on device — 4x less host->device traffic, and the
+    # per-image copy below is a memcpy instead of an astype+divide. Falls
+    # back to the f32 wire format if any renderer hands back floats.
+    u8 = (str(cfg.TRANSFER_DTYPE) == 'uint8'
+          and all(im.dtype == np.uint8 for im in resized))
     # feature dim = IMG_HEIGHT * NCHANNELS (reference NUM_FEATURES layout:
     # channels flatten into the per-timestep feature vector, config.py:27-28)
-    image = np.zeros((n, w_bucket, int(cfg.NUM_FEATURES)), np.float32)
+    image = np.zeros((n, w_bucket, int(cfg.NUM_FEATURES)),
+                     np.uint8 if u8 else np.float32)
     label = np.zeros((n, l_max), np.int32)
     label_len = np.zeros((n,), np.int32)
     time_step = np.zeros((n,), np.int32)
     for i, (im, lab) in enumerate(zip(resized, labels)):
         w = im.shape[1]
-        image[i, :w, :] = (im.astype(np.float32) / 255.0) \
-            .swapaxes(0, 1).reshape(w, -1)
+        if u8:
+            image[i, :w, :] = im.swapaxes(0, 1).reshape(w, -1)
+        else:
+            image[i, :w, :] = (im.astype(np.float32) / 255.0) \
+                .swapaxes(0, 1).reshape(w, -1)
         code = [encode_maps[c] for c in lab]
         assert len(code) <= l_max, f'label longer than MAX_LEN: {lab}'
         label[i, :len(code)] = code

@@ -449,7 +449,15 @@ class Network:
         """
         ctx = {'train': train, 'dtype': dtype,
                'bn_stats': bn_stats, 'bn_collect': bn_collect}
-        outputs: Dict[str, jnp.ndarray] = dict(inputs)
+        # uint8 feeds are raw pixels (the cfg.TRANSFER_DTYPE='uint8'
+        # host->device contract, data/gen.py:bucket_batch): normalize on
+        # device with the exact f32 division the f32 wire format runs on
+        # the host — bit-identical values, 4x less transfer. XLA fuses the
+        # cast+scale into the first conv's input handling.
+        outputs: Dict[str, jnp.ndarray] = {
+            k: (v.astype(jnp.float32) / 255.0
+                if getattr(v, 'dtype', None) == jnp.uint8 else v)
+            for k, v in inputs.items()}
         for spec in self.specs:
             xs = [outputs[n] for n in spec.inputs]
             if spec.kind == 'dropout' and train:

@@ -115,11 +115,11 @@ def test_bucket_batch_multichannel():
         imgs = [rng.randint(0, 256, (32, w, 3), np.uint8) for w in (40, 50)]
         batch = gen.bucket_batch(imgs, ['ab', 'cde'])
         assert batch.image.shape[2] == cfg.IMG_HEIGHT * 3
-        # values survive the flatten round-trip
+        # values survive the flatten round-trip (uint8 wire format: raw
+        # pixels; the /255 normalization runs on device, network.py:apply)
         w = 40
         got = batch.image[0, :w].reshape(w, 32, 3)
-        np.testing.assert_allclose(
-            got, imgs[0].astype(np.float32).swapaxes(0, 1) / 255.0)
+        np.testing.assert_array_equal(got, imgs[0].swapaxes(0, 1))
     finally:
         cfg.clear()
         for k, v in old.items():

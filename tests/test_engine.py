@@ -118,6 +118,53 @@ def test_train_step_reduces_loss():
             cfg[k] = v
 
 
+def test_uint8_transfer_bit_identical():
+    """The uint8 wire format (cfg.TRANSFER_DTYPE='uint8', default) must be
+    BIT-identical to the f32 one: the device runs the exact same f32
+    x/255 division the host ran before (network.py:apply), so loss and
+    gradients match exactly, not just to tolerance."""
+    import copy
+    from lstm_ctc_ocr_tpu.config import cfg
+    old = copy.deepcopy(dict(cfg))
+    try:
+        cfg.TRAIN.DTYPE = 'float32'
+        from lstm_ctc_ocr_tpu.data import gen
+        from lstm_ctc_ocr_tpu.engine.train import make_loss_fn
+        from lstm_ctc_ocr_tpu.models.factory import get_network
+        rng = np.random.RandomState(1)
+        imgs = [rng.randint(0, 256, (32, w), np.uint8) for w in (70, 88)]
+        labels = ['ab', 'c0z']
+        cfg.TRANSFER_DTYPE = 'uint8'
+        b_u8 = gen.bucket_batch(imgs, labels, buckets=[96])
+        cfg.TRANSFER_DTYPE = 'float32'
+        b_f32 = gen.bucket_batch(imgs, labels, buckets=[96])
+        assert b_u8.image.dtype == np.uint8
+        assert b_f32.image.dtype == np.float32
+
+        net = get_network('LSTM_train')
+        n = 2
+        params = net.init_params(jax.random.PRNGKey(0),
+                                 {'data': (n, 96, 32), 'time_step_len': (n,)})
+        loss_fn = make_loss_fn(net, None)
+        key = jax.random.PRNGKey(3)
+
+        def val_and_grad(image):
+            (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, jnp.asarray(image), jnp.asarray(b_u8.label),
+                jnp.asarray(b_u8.label_len), jnp.asarray(b_u8.time_step), key)
+            return float(total), grads
+
+        t_u8, g_u8 = val_and_grad(b_u8.image)
+        t_f32, g_f32 = val_and_grad(b_f32.image)
+        assert t_u8 == t_f32
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), g_u8, g_f32)
+    finally:
+        cfg.clear()
+        for k, v in old.items():
+            cfg[k] = v
+
+
 def test_npy_pretrained_roundtrip(tmp_path):
     """convert_ckpt2npy output loads back via the pre_train .npy path
     (reference Network.load format, network.py:50-63)."""

@@ -85,8 +85,8 @@ def test_native_bucket_batch_contract():
         batch = gen.bucket_batch([p[0] for p in pairs], [p[1] for p in pairs])
         n, w, f = batch.image.shape
         assert n == 8 and f == int(cfg.NUM_FEATURES)
-        assert batch.image.dtype == np.float32
-        assert 0.0 <= batch.image.min() and batch.image.max() <= 1.0
+        # default transfer contract: raw uint8 pixels, /255 happens on device
+        assert batch.image.dtype == np.uint8
         # time_step is per-image (true width), not the bucket width
         want = [p[0].shape[1] // int(cfg.POOL_SCALE) + int(cfg.OFFSET_TIME_STEP)
                 for p in pairs]
