@@ -179,8 +179,50 @@ def bench_sustained(seconds, batch):
     tx = make_optimizer()
     opt_state = tx.init(params)
     bn_state = net.init_bn_state()
-    step = make_train_step(net, tx, compute_dtype())
     n_dispatch = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
+
+    # device-resident dataset (cfg.DATA_DEVICE): same gate as the solver
+    from lstm_ctc_ocr_tpu.data.device_store import make_device_feed
+    from lstm_ctc_ocr_tpu.engine.train import (make_train_chunk_step_gather,
+                                               make_train_step_gather)
+    feed = make_device_feed(batch)
+    if feed is not None:
+        step_g = make_train_step_gather(net, tx, compute_dtype())
+        chunk_g = (make_train_chunk_step_gather(net, tx, compute_dtype(),
+                                                n_dispatch)
+                   if n_dispatch > 1 else None)
+
+        def run_feed(n_steps, it0):
+            nonlocal params, opt_state, bn_state
+            it = it0
+            total = None
+            while it - it0 < n_steps:
+                if chunk_g is not None:
+                    idxs = feed.next_indices(batch, n_dispatch)
+                    params, opt_state, bn_state, totals, _ = chunk_g(
+                        params, opt_state, bn_state, *feed.store.arrays,
+                        jnp.asarray(idxs), it)
+                    total, m = totals[-1], n_dispatch
+                else:
+                    idxs = feed.next_indices(batch, 1)
+                    params, opt_state, bn_state, total, _ = step_g(
+                        params, opt_state, bn_state, *feed.store.arrays,
+                        jnp.asarray(idxs[0]), it)
+                    m = 1
+                feed.tick(m)
+                it += m
+            float(total)
+            return it
+
+        it = run_feed(30, 0)          # warmup: compile + tunnel steady state
+        t0 = time.perf_counter()
+        it0 = it
+        while time.perf_counter() - t0 < seconds:
+            it = run_feed(20, it)
+        dt = time.perf_counter() - t0
+        return (it - it0) * batch / dt, it - it0, dt, True
+
+    step = make_train_step(net, tx, compute_dtype())
     chunk_step = (make_train_chunk_step(net, tx, compute_dtype(), n_dispatch)
                   if n_dispatch > 1 else None)
     stream = make_train_stream(batch)
@@ -233,7 +275,7 @@ def bench_sustained(seconds, batch):
         it = run(chunk, it)   # run() rounds up to whole dispatch groups
     dt = time.perf_counter() - t0
     steps_done = it - it_meas0
-    return steps_done * batch / dt, steps_done, dt
+    return steps_done * batch / dt, steps_done, dt, False
 
 
 def bench_tf_cpu_baseline(steps=4, batch=64, width=96):
@@ -347,13 +389,16 @@ if __name__ == '__main__':
 
     if args.sustained:
         from lstm_ctc_ocr_tpu.config import cfg
-        ips, steps_done, dt = bench_sustained(args.sustained, args.batch)
+        ips, steps_done, dt, dev_res = bench_sustained(
+            args.sustained, args.batch)
         print(json.dumps({
             'metric': 'captcha images/sec sustained (end-to-end train)',
             'value': round(ips, 2),
             'unit': 'images/sec',
             'vs_baseline': None,
             'backend': str(cfg.DATA_BACKEND),
+            'device_resident': dev_res,
+            'steps_per_dispatch': int(cfg.TRAIN.STEPS_PER_DISPATCH),
             'renderer': str(cfg.RENDERER),
             'batch': args.batch,
             'steps': steps_done,

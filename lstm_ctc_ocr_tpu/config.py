@@ -178,6 +178,15 @@ __C.DATA_BACKEND = 'synth'     # 'synth' (beta path) | 'pool' | 'records' (dev p
 # instead of host; tests/test_data.py pins loss+grad equality). 'float32'
 # reproduces the reference's host-side /255 (gen.py:63) on the wire.
 __C.TRANSFER_DTYPE = 'uint8'   # 'uint8' | 'float32'
+# Device-resident dataset (data/device_store.py): upload the pool/records
+# rows to HBM once and gather batches ON DEVICE from per-step index
+# arrays — per-step host->device payload drops ~700x (the measured
+# bottleneck, PERF.md "Sustained end-to-end"). 'auto' enables it for the
+# pool/records backends on a single device when the store fits
+# DATA_DEVICE_MAX_MB; 'on' forces (errors if the backend can't), 'off'
+# always streams host batches.
+__C.DATA_DEVICE = 'auto'       # 'auto' | 'on' | 'off'
+__C.DATA_DEVICE_MAX_MB = 2048  # 'auto' size gate for the HBM store
 # Device parallelism for the training CLI: 'auto' builds a DP mesh over every
 # visible chip (largest device count dividing the batch sizes), 'off' forces
 # the single-device step. The reference is single-GPU (train_net.py:59);

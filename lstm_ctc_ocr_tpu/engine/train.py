@@ -192,6 +192,56 @@ def make_train_chunk_step(net, tx, dtype, n_steps,
     return train_chunk
 
 
+def make_train_step_gather(net, tx, dtype):
+    """Train step for the device-resident dataset (data/device_store.py):
+    the batch is gathered ON DEVICE from the HBM-resident store by row
+    index, so the host->device payload per step is the [N] int32 index
+    array (~1 KB) instead of the image batch (~786 KB) — the transfer the
+    sustained-throughput measurements showed to be the bottleneck
+    (PERF.md). Same per-step math as make_train_step by construction."""
+    sgd_step = _make_sgd_step(net, tx, dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, opt_state, bn_state, img, lab, lab_len, t_step,
+             idx, step_idx):
+        return sgd_step(params, opt_state, bn_state,
+                        jnp.take(img, idx, axis=0),
+                        jnp.take(lab, idx, axis=0),
+                        jnp.take(lab_len, idx, axis=0),
+                        jnp.take(t_step, idx, axis=0), step_idx)
+    return step
+
+
+def make_train_chunk_step_gather(net, tx, dtype, n_steps):
+    """K gather-steps per dispatch: lax.scan over [K, N] index rows against
+    the device-resident store. Unlike the host-batch chunk program
+    (make_train_chunk_step), there is nothing left to transfer per step,
+    so the K-fold dispatch amortization is pure win — and the store is a
+    single bucket, so groups never break on width changes."""
+    sgd_step = _make_sgd_step(net, tx, dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def chunk(params, opt_state, bn_state, img, lab, lab_len, t_step,
+              idxs, step_idx0):
+        def body(carry, xs):
+            params, opt_state, bn_state = carry
+            idx, i = xs
+            params, opt_state, bn_state, total, ctc = sgd_step(
+                params, opt_state, bn_state,
+                jnp.take(img, idx, axis=0), jnp.take(lab, idx, axis=0),
+                jnp.take(lab_len, idx, axis=0),
+                jnp.take(t_step, idx, axis=0), i)
+            return (params, opt_state, bn_state), (total, ctc)
+
+        steps = jnp.asarray(step_idx0, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32)
+        (params, opt_state, bn_state), (totals, ctcs) = jax.lax.scan(
+            body, (params, opt_state, bn_state), (idxs, steps))
+        return params, opt_state, bn_state, totals, ctcs
+
+    return chunk
+
+
 def make_decode_step(net, dtype, in_shardings=None, out_shardings=None):
     jit_kwargs = {}
     if in_shardings is not None:
@@ -347,6 +397,20 @@ class SolverWrapper:
         n_dispatch = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
         chunk_step = None
         mesh = self._select_mesh(n)
+        # device-resident dataset (cfg.DATA_DEVICE): the pool/records rows
+        # live in HBM and the step gathers by row index — per-step transfer
+        # drops from the image batch to a ~1 KB index array (PERF.md).
+        # Single-device path only; the DP gather step is a future extension.
+        feed = None
+        train_step_gather = chunk_gather = None
+        if mesh is None:
+            from ..data.device_store import make_device_feed
+            feed = make_device_feed(n)
+            if feed is not None:
+                train_step_gather = make_train_step_gather(self.net, tx, dtype)
+                if n_dispatch > 1:
+                    chunk_gather = make_train_chunk_step_gather(
+                        self.net, tx, dtype, n_dispatch)
         if mesh is not None:
             from ..parallel import mesh as pmesh
             print('DP mesh over {} device(s): {}'.format(
@@ -394,7 +458,10 @@ class SolverWrapper:
                 'equal shard'.format(n, cfg.VAL.BATCH_SIZE, n_proc))
         local_n = n // n_proc
         local_val = int(cfg.VAL.BATCH_SIZE) // n_proc
-        train_gen = self._make_train_stream(local_n)
+        # with a device feed the host stream is redundant (the feed owns the
+        # backend's sampler and RNG streams)
+        train_gen = None if feed is not None \
+            else self._make_train_stream(local_n)
         # val seed offset per process like the train stream — otherwise
         # every host renders the same rows and the global val batch is
         # n_proc copies of VAL.BATCH_SIZE/n_proc unique examples
@@ -520,6 +587,36 @@ class SolverWrapper:
                     K, max_iters - it,
                     cfg.TRAIN.SNAPSHOT_ITERS - it % cfg.TRAIN.SNAPSHOT_ITERS,
                     cfg.VAL.VAL_STEP - it % cfg.VAL.VAL_STEP)
+                if feed is not None:
+                    # device-resident path: ship indices, gather on device
+                    m = target if (chunk_gather is not None and target == K) \
+                        else 1
+                    idxs = feed.next_indices(local_n, m)
+                    if m > 1:
+                        params, opt_state, bn_state, totals, ctcs = \
+                            chunk_gather(params, opt_state, bn_state,
+                                         *feed.store.arrays,
+                                         jnp.asarray(idxs), it)
+                    else:
+                        params, opt_state, bn_state, total, ctc = \
+                            train_step_gather(params, opt_state, bn_state,
+                                              *feed.store.arrays,
+                                              jnp.asarray(idxs[0]), it)
+                        totals = [total]
+                    feed.tick(m)
+                    if pending is not None:
+                        process_group(pending[0], pending[1], secs_per_iter,
+                                      cur_end=it + m - 1)
+                    pending = (it, totals, m)
+                    it_end = it + m - 1
+                    if (it_end + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                        self.snapshot({'params': params,
+                                       'opt_state': opt_state,
+                                       'bn_state': bn_state}, it_end + 1)
+                    if (it_end + 1) % cfg.VAL.VAL_STEP == 0:
+                        run_val(it_end)
+                    it += m
+                    continue
                 group = next_batches(K if target == K else 1)
                 m = len(group)
                 if chunk_step is not None and m == K:
@@ -559,7 +656,10 @@ class SolverWrapper:
                               cur_end=pending[0] + pending[2] - 1)
         finally:
             prof.close()
-            train_gen.close()
+            if train_gen is not None:
+                train_gen.close()
+            if feed is not None:
+                feed.store.flush_refresh()
             val_gen.close()
             self.writer.close()
         return params, opt_state

@@ -1,0 +1,201 @@
+"""Device-resident dataset (data/device_store.py): the HBM store must hold
+exactly the rows bucket_batch would build, consume the SAME RNG streams as
+the host samplers, and the gather train step must trace the same trajectory
+as host batches — the transfer-elimination path cannot change the math."""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lstm_ctc_ocr_tpu.config import cfg
+
+
+@pytest.fixture(autouse=True)
+def _cfg_snapshot():
+    snapshot = copy.deepcopy(dict(cfg))
+    yield
+    cfg.clear()
+    for k, v in snapshot.items():
+        cfg[k] = v
+
+
+def _fake_images(widths, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (int(cfg.IMG_HEIGHT), w), np.uint8)
+            for w in widths]
+
+
+def test_store_rows_match_bucket_batch():
+    """Gathered store rows == bucket_batch on the same rows (pixels, labels,
+    lengths, time_steps), with the store-wide bucket."""
+    from lstm_ctc_ocr_tpu.data import gen
+    from lstm_ctc_ocr_tpu.data.device_store import DeviceStore
+    imgs = _fake_images([53, 80, 91, 60])
+    labels = ['ab', 'c0z', 'q', 'x9y']
+    store = DeviceStore(imgs, labels, 'uniform', np.random.RandomState(0),
+                        verbose=False)
+    rows = [2, 0, 3]
+    ref = gen.bucket_batch([imgs[i] for i in rows],
+                           [labels[i] for i in rows],
+                           buckets=[store.w_bucket])
+    assert ref.image.dtype == np.uint8          # uint8 wire format default
+    idx = jnp.asarray(np.asarray(rows, np.int32))
+    np.testing.assert_array_equal(np.asarray(store.img[idx]), ref.image)
+    np.testing.assert_array_equal(np.asarray(store.lab[idx]), ref.label)
+    np.testing.assert_array_equal(np.asarray(store.lab_len[idx]),
+                                  ref.label_len)
+    np.testing.assert_array_equal(np.asarray(store.t_step[idx]),
+                                  ref.time_step)
+
+
+def test_sampler_rng_parity():
+    """'uniform' consumes np_rng exactly like PoolSampler.sample_batch;
+    'epoch' walks permutations exactly like RecordsDataset.batch_iterator."""
+    from lstm_ctc_ocr_tpu.data.device_store import DeviceStore
+    imgs = _fake_images([50] * 10)
+    labels = ['ab'] * 10
+    s_uni = DeviceStore(imgs, labels, 'uniform', np.random.RandomState(7),
+                        verbose=False)
+    want = np.random.RandomState(7)
+    for _ in range(3):
+        got = s_uni.next_indices(4)[0]
+        np.testing.assert_array_equal(
+            got, want.choice(10, size=4, replace=False))
+
+    s_ep = DeviceStore(imgs, labels, 'epoch', np.random.RandomState(5),
+                       verbose=False)
+    ref_rng = np.random.RandomState(5)
+    order = ref_rng.permutation(10)
+    # 10 rows / batch 4 -> starts 0 and 4, remainder dropped, then re-permute
+    np.testing.assert_array_equal(s_ep.next_indices(4)[0], order[0:4])
+    np.testing.assert_array_equal(s_ep.next_indices(4)[0], order[4:8])
+    order2 = ref_rng.permutation(10)
+    np.testing.assert_array_equal(s_ep.next_indices(4)[0], order2[0:4])
+
+
+def test_refresh_flush_updates_rows():
+    from lstm_ctc_ocr_tpu.data.device_store import DeviceStore
+    imgs = _fake_images([50] * 6)
+    store = DeviceStore(imgs, ['ab'] * 6, 'uniform',
+                        np.random.RandomState(0), flush_every=2,
+                        verbose=False)
+    fresh = _fake_images([48], seed=99)[0]
+    store.stage_refresh(3, fresh, 'zz9')
+    assert store._pending                      # below flush threshold
+    store.flush_refresh()
+    row_img = np.asarray(store.img[3])
+    np.testing.assert_array_equal(row_img[:48],
+                                  fresh.swapaxes(0, 1).reshape(48, -1))
+    assert np.all(row_img[48:] == 0)
+    from lstm_ctc_ocr_tpu.config import get_encode_decode_dict
+    enc, _ = get_encode_decode_dict()
+    assert np.asarray(store.lab[3])[:3].tolist() == [enc['z'], enc['z'],
+                                                     enc['9']]
+    assert int(store.lab_len[3]) == 3
+    # a row wider than the bucket is skipped, not crashed
+    store.stage_refresh(0, _fake_images([store.w_bucket + 8])[0], 'aa')
+    store.flush_refresh()
+
+
+def test_records_feed_trajectory_matches_host_path(tmp_path):
+    """N train steps fed by the device store == the same N steps fed by
+    host batches from RecordsDataset.batch_iterator (same seed): identical
+    sampled rows, near-bit-identical losses."""
+    import cv2
+    from lstm_ctc_ocr_tpu.data.device_store import RecordsDeviceFeed
+    from lstm_ctc_ocr_tpu.data.records import (
+        RecordsDataset, write_image_annotation_pairs_to_records)
+    from lstm_ctc_ocr_tpu.engine.train import (make_optimizer,
+                                               make_train_step,
+                                               make_train_step_gather)
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+
+    cfg.TRAIN.DTYPE = 'float32'
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    # equal widths -> every host batch lands in the store's bucket, so the
+    # two paths run the SAME program on the SAME rows
+    for i in range(12):
+        lab = ''.join(rng.choice(list('abc049'), 4))
+        cv2.imwrite(str(img_dir / '{:08d}_{}.png'.format(i, lab)),
+                    rng.randint(0, 255, (32, 100), dtype=np.uint8))
+    path = str(tmp_path / 't.records')
+    write_image_annotation_pairs_to_records(str(img_dir), path)
+
+    net = get_network('LSTM_train')
+    tx = make_optimizer()
+    n, steps, seed = 4, 5, 11
+
+    def init():
+        ds = RecordsDataset(path)
+        w_b = 128
+        params = net.init_params(jax.random.PRNGKey(0),
+                                 {'data': (n, w_b, 32),
+                                  'time_step_len': (n,)})
+        return ds, params, tx.init(params), net.init_bn_state()
+
+    # host path
+    ds, params, opt_state, bn_state = init()
+    step = make_train_step(net, tx, None)
+    it = ds.batch_iterator(n, shuffle=True, seed=seed)
+    host_losses = []
+    for i in range(steps):
+        b = next(it)
+        params, opt_state, bn_state, total, _ = step(
+            params, opt_state, bn_state, jnp.asarray(b.image),
+            jnp.asarray(b.label), jnp.asarray(b.label_len),
+            jnp.asarray(b.time_step), i)
+        host_losses.append(float(total))
+    ds.close()
+
+    # device-resident path
+    ds, params, opt_state, bn_state = init()
+    feed = RecordsDeviceFeed(ds, seed=seed, verbose=False)
+    ds.close()
+    assert feed.store.w_bucket == 128
+    gstep = make_train_step_gather(net, tx, None)
+    dev_losses = []
+    for i in range(steps):
+        idx = feed.next_indices(n, 1)
+        params, opt_state, bn_state, total, _ = gstep(
+            params, opt_state, bn_state, *feed.store.arrays,
+            jnp.asarray(idx[0]), i)
+        dev_losses.append(float(total))
+
+    np.testing.assert_allclose(dev_losses, host_losses, rtol=1e-6)
+
+
+def test_solver_runs_on_device_feed(tmp_path, monkeypatch):
+    """SolverWrapper end to end with DATA_DEVICE='on' over the pool backend:
+    trains, refreshes, snapshots — the production loop, CPU-sized."""
+    monkeypatch.chdir(tmp_path)           # pool cache + output under tmp
+    from lstm_ctc_ocr_tpu.engine.train import SolverWrapper
+
+    cfg.TRAIN.DTYPE = 'float32'
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.SNAPSHOT_ITERS = 4
+    cfg.TRAIN.DISPLAY = 2
+    cfg.TRAIN.STEPS_PER_DISPATCH = 2
+    cfg.VAL.VAL_STEP = 1000
+    cfg.VAL.BATCH_SIZE = 4
+    cfg.DATA_BACKEND = 'pool'
+    cfg.DATA_DEVICE = 'on'
+    cfg.PARALLEL = 'off'
+    cfg.POOL_SIZE = 16
+    cfg.POOL_REFRESH = 1
+    cfg.MIN_LEN = cfg.MAX_LEN = 4
+    cfg.CHARSET = '0123456789'
+
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+    net = get_network('LSTM_train')
+    out = str(tmp_path / 'out')
+    os.makedirs(out, exist_ok=True)
+    sw = SolverWrapper(net, None, None, out, str(tmp_path / 'logs'))
+    params, _ = sw.train_model(max_iters=9)
+    assert any(f.endswith('.ckpt.npz') for f in os.listdir(out))
