@@ -181,10 +181,11 @@ __C.TRANSFER_DTYPE = 'uint8'   # 'uint8' | 'float32'
 # Device-resident dataset (data/device_store.py): upload the pool/records
 # rows to HBM once and gather batches ON DEVICE from per-step index
 # arrays — per-step host->device payload drops ~700x (the measured
-# bottleneck, PERF.md "Sustained end-to-end"). 'auto' enables it for the
-# pool/records backends on a single device when the store fits
-# DATA_DEVICE_MAX_MB; 'on' forces (errors if the backend can't), 'off'
-# always streams host batches.
+# bottleneck, PERF.md "Sustained end-to-end"). On a DP mesh the store is
+# replicated per device and only the index array is sharded. 'auto'
+# enables it for the pool/records backends in single-process runs when a
+# store replica fits DATA_DEVICE_MAX_MB; 'on' forces (errors if the
+# backend can't), 'off' always streams host batches.
 __C.DATA_DEVICE = 'auto'       # 'auto' | 'on' | 'off'
 __C.DATA_DEVICE_MAX_MB = 2048  # 'auto' size gate for the HBM store
 # Device parallelism for the training CLI: 'auto' builds a DP mesh over every

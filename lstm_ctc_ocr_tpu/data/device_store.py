@@ -34,8 +34,9 @@ Semantics vs the host path (kept or consciously changed, in order):
   old-master idea (/root/reference/README.md:3-6) pushed to its TPU
   conclusion — the dataset lives where the compute is.
 
-Enabled by ``cfg.DATA_DEVICE`` ('auto' uses it for pool/records on a
-single device when the store fits ``cfg.DATA_DEVICE_MAX_MB``).
+Enabled by ``cfg.DATA_DEVICE`` ('auto' uses it for pool/records in
+single-process runs — single device or a DP mesh, where the store is
+replicated per device — when a replica fits ``cfg.DATA_DEVICE_MAX_MB``).
 """
 
 from __future__ import annotations
@@ -99,7 +100,7 @@ class DeviceStore:
 
     def __init__(self, images: List[np.ndarray], labels: List[str],
                  mode: str, np_rng: np.random.RandomState,
-                 flush_every: int = 32, verbose: bool = True):
+                 flush_every: int = 32, verbose: bool = True, mesh=None):
         import jax
         assert mode in ('uniform', 'epoch')
         self.mode = mode
@@ -109,13 +110,24 @@ class DeviceStore:
         img, lab, lab_len, t_step = _pack_rows(images, labels, self.w_bucket)
         self.nbytes = img.nbytes + lab.nbytes + lab_len.nbytes + t_step.nbytes
         if verbose:
-            print('device store: {} rows @ bucket {} -> {:.1f} MB in HBM'
-                  .format(self.n, self.w_bucket, self.nbytes / 1e6),
+            extra = (' x{} replicas'.format(mesh.size) if mesh is not None
+                     else '')
+            print('device store: {} rows @ bucket {} -> {:.1f} MB in HBM{}'
+                  .format(self.n, self.w_bucket, self.nbytes / 1e6, extra),
                   flush=True)
-        self.img = jax.device_put(img)
-        self.lab = jax.device_put(lab)
-        self.lab_len = jax.device_put(lab_len)
-        self.t_step = jax.device_put(t_step)
+        if mesh is not None:
+            # one full replica per device: the DP gather step
+            # (parallel/mesh.py) shards only the index array, so each chip
+            # gathers its batch shard locally with zero ICI traffic
+            from jax.sharding import NamedSharding, PartitionSpec
+            put = functools.partial(
+                jax.device_put, device=NamedSharding(mesh, PartitionSpec()))
+        else:
+            put = jax.device_put
+        self.img = put(img)
+        self.lab = put(lab)
+        self.lab_len = put(lab_len)
+        self.t_step = put(t_step)
         self._order: Optional[np.ndarray] = None     # epoch mode
         self._pos = 0
         # refresh buffer: (row, image, label) triples awaiting a flush
@@ -176,10 +188,10 @@ class PoolDeviceFeed:
     step (PoolSampler.batch_iterator's refresh cadence) into the staged
     buffer."""
 
-    def __init__(self, pool, verbose: bool = True):
+    def __init__(self, pool, verbose: bool = True, mesh=None):
         self._pool = pool
         self.store = DeviceStore(pool.images, pool.labels, 'uniform',
-                                 pool._np_rng, verbose=verbose)
+                                 pool._np_rng, verbose=verbose, mesh=mesh)
         # free the host copy: the pool list is only needed to build the
         # store (the disk cache, not this list, serves restarts)
         pool.images, pool.labels = [], []
@@ -200,14 +212,15 @@ class RecordsDeviceFeed:
     height once (the same resize/cache path batches use), uploads, then
     walks shuffled epochs exactly like RecordsDataset.batch_iterator."""
 
-    def __init__(self, ds, seed: int, verbose: bool = True):
+    def __init__(self, ds, seed: int, verbose: bool = True, mesh=None):
         images, labels = [], []
         for i in range(len(ds)):
             lab, im = ds.get_at_model_height(i)
             images.append(im)
             labels.append(lab)
         self.store = DeviceStore(images, labels, 'epoch',
-                                 np.random.RandomState(seed), verbose=verbose)
+                                 np.random.RandomState(seed), verbose=verbose,
+                                 mesh=mesh)
 
     def next_indices(self, batch_size: int, k: int = 1) -> np.ndarray:
         return self.store.next_indices(batch_size, k)
@@ -237,12 +250,20 @@ def estimate_store_mb(backend: str) -> float:
     return n * (w_bucket * feat + 4 * l_max + 8) / 1e6
 
 
-def make_device_feed(batch_size: int, verbose: bool = True):
+def make_device_feed(batch_size: int, verbose: bool = True, mesh=None):
     """The cfg.DATA_DEVICE gate: a PoolDeviceFeed/RecordsDeviceFeed when the
     backend supports device residence and fits, else None (host batches).
 
-    'auto' requires: backend in (pool, records), a single visible device
-    (the DP gather step is a future extension), and an estimated store
+    With ``mesh`` the store is replicated across the DP mesh and the
+    caller must use the parallel gather steps
+    (parallel/mesh.py:make_parallel_train_step_gather) — index arrays are
+    GLOBAL-batch rows, sharded by the step's in_shardings. Single-process
+    only either way: on a multi-host mesh each host sees a different
+    sampler stream, so device residence stays per-host-stream
+    (future work); the solver falls back to host batches there.
+
+    'auto' requires: backend in (pool, records), one process, a single
+    visible device OR an explicit mesh, and an estimated per-replica store
     under cfg.DATA_DEVICE_MAX_MB.
     """
     import jax
@@ -250,15 +271,16 @@ def make_device_feed(batch_size: int, verbose: bool = True):
     backend = str(cfg.DATA_BACKEND)
     if setting == 'off':
         return None
-    ok = backend in ('pool', 'records')
+    ok = backend in ('pool', 'records') and jax.process_count() == 1
     if ok and setting == 'auto':
-        ok = (len(jax.devices()) == 1 and jax.process_count() == 1
+        ok = ((mesh is not None or len(jax.devices()) == 1)
               and estimate_store_mb(backend) <= float(cfg.DATA_DEVICE_MAX_MB))
     if not ok:
         if setting == 'on':
             raise ValueError(
-                "DATA_DEVICE 'on' needs DATA_BACKEND pool|records (got {})"
-                .format(backend))
+                "DATA_DEVICE 'on' needs DATA_BACKEND pool|records (got {}) "
+                "and a single process (got {})"
+                .format(backend, jax.process_count()))
         return None
     seed = int(cfg.RNG_SEED) + 100003 * jax.process_index()
     if backend == 'records':
@@ -268,9 +290,9 @@ def make_device_feed(batch_size: int, verbose: bool = True):
         if verbose:
             print('records backend (device-resident): {} examples from {}'
                   .format(len(ds), cfg.RECORDS_PATH))
-        feed = RecordsDeviceFeed(ds, seed=seed, verbose=verbose)
+        feed = RecordsDeviceFeed(ds, seed=seed, verbose=verbose, mesh=mesh)
         ds.close()
         return feed
     from .pool import PoolSampler
     pool = PoolSampler(int(cfg.POOL_SIZE), seed=seed, verbose=verbose)
-    return PoolDeviceFeed(pool, verbose=verbose)
+    return PoolDeviceFeed(pool, verbose=verbose, mesh=mesh)

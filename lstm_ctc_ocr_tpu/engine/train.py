@@ -192,16 +192,27 @@ def make_train_chunk_step(net, tx, dtype, n_steps,
     return train_chunk
 
 
-def make_train_step_gather(net, tx, dtype):
+def make_train_step_gather(net, tx, dtype, in_shardings=None,
+                           out_shardings=None):
     """Train step for the device-resident dataset (data/device_store.py):
     the batch is gathered ON DEVICE from the HBM-resident store by row
     index, so the host->device payload per step is the [N] int32 index
     array (~1 KB) instead of the image batch (~786 KB) — the transfer the
     sustained-throughput measurements showed to be the bottleneck
-    (PERF.md). Same per-step math as make_train_step by construction."""
-    sgd_step = _make_sgd_step(net, tx, dtype)
+    (PERF.md). Same per-step math as make_train_step by construction.
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    ``in_shardings``/``out_shardings`` annotate the same program for a DP
+    mesh (parallel/mesh.py:make_parallel_train_step_gather): the store is
+    replicated per device and the index array batch-sharded, so each chip
+    gathers its local shard from its own replica — the gather itself never
+    crosses ICI."""
+    sgd_step = _make_sgd_step(net, tx, dtype)
+    jit_kwargs = {'donate_argnums': (0, 1, 2)}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def step(params, opt_state, bn_state, img, lab, lab_len, t_step,
              idx, step_idx):
         return sgd_step(params, opt_state, bn_state,
@@ -212,15 +223,20 @@ def make_train_step_gather(net, tx, dtype):
     return step
 
 
-def make_train_chunk_step_gather(net, tx, dtype, n_steps):
+def make_train_chunk_step_gather(net, tx, dtype, n_steps,
+                                 in_shardings=None, out_shardings=None):
     """K gather-steps per dispatch: lax.scan over [K, N] index rows against
     the device-resident store. Unlike the host-batch chunk program
     (make_train_chunk_step), there is nothing left to transfer per step,
     so the K-fold dispatch amortization is pure win — and the store is a
     single bucket, so groups never break on width changes."""
     sgd_step = _make_sgd_step(net, tx, dtype)
+    jit_kwargs = {'donate_argnums': (0, 1, 2)}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    @functools.partial(jax.jit, **jit_kwargs)
     def chunk(params, opt_state, bn_state, img, lab, lab_len, t_step,
               idxs, step_idx0):
         def body(carry, xs):
@@ -399,14 +415,24 @@ class SolverWrapper:
         mesh = self._select_mesh(n)
         # device-resident dataset (cfg.DATA_DEVICE): the pool/records rows
         # live in HBM and the step gathers by row index — per-step transfer
-        # drops from the image batch to a ~1 KB index array (PERF.md).
-        # Single-device path only; the DP gather step is a future extension.
+        # drops from the image batch to a ~1 KB index array (PERF.md). On a
+        # DP mesh the store is replicated per device and the index array
+        # batch-sharded (parallel/mesh.py); multi-host stays on host batches
+        # (each host owns a different sampler stream).
         feed = None
         train_step_gather = chunk_gather = None
-        if mesh is None:
+        if jax.process_count() == 1:
             from ..data.device_store import make_device_feed
-            feed = make_device_feed(n)
-            if feed is not None:
+            feed = make_device_feed(n, mesh=mesh)
+        if feed is not None:
+            if mesh is not None:
+                from ..parallel import mesh as pmesh
+                train_step_gather = pmesh.make_parallel_train_step_gather(
+                    self.net, tx, dtype, mesh)
+                if n_dispatch > 1:
+                    chunk_gather = pmesh.make_parallel_train_chunk_step_gather(
+                        self.net, tx, dtype, mesh, n_dispatch)
+            else:
                 train_step_gather = make_train_step_gather(self.net, tx, dtype)
                 if n_dispatch > 1:
                     chunk_gather = make_train_chunk_step_gather(

@@ -147,6 +147,37 @@ def make_parallel_train_chunk_step(net, tx, dtype, mesh: Mesh, n_steps: int,
         out_shardings=(repl, repl, repl, repl, repl))
 
 
+def make_parallel_train_step_gather(net, tx, dtype, mesh: Mesh,
+                                    axis: str = 'data'):
+    """DP gather step for the device-resident dataset (data/device_store.py):
+    params/opt/bn AND the store arrays replicated, the [N] index array
+    batch-sharded — each device gathers its local batch shard from its own
+    store replica, so per-step host->device traffic is the index array and
+    the only collective is the usual grad psum."""
+    from ..engine.train import make_train_step_gather
+    repl = replicated(mesh)
+    dsh = batch_sharded(mesh, axis)
+    # args: params, opt_state, bn_state, img, lab, lab_len, t_step, idx,
+    # step_idx
+    return make_train_step_gather(
+        net, tx, dtype,
+        in_shardings=(repl, repl, repl, repl, repl, repl, repl, dsh, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
+
+
+def make_parallel_train_chunk_step_gather(net, tx, dtype, mesh: Mesh,
+                                          n_steps: int, axis: str = 'data'):
+    """K-step dispatch chunk over the device-resident store: [K, N] index
+    rows sharded on the batch axis (axis 1), store + state replicated."""
+    from ..engine.train import make_train_chunk_step_gather
+    repl = replicated(mesh)
+    csh = chunk_sharded(mesh, axis)
+    return make_train_chunk_step_gather(
+        net, tx, dtype, n_steps,
+        in_shardings=(repl, repl, repl, repl, repl, repl, repl, csh, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
+
+
 def make_parallel_decode_step(net, dtype, mesh: Mesh, axis: str = 'data'):
     """DP decode step for batched validation/eval across the mesh (same
     delegation as the train step)."""

@@ -199,3 +199,109 @@ def test_solver_runs_on_device_feed(tmp_path, monkeypatch):
     sw = SolverWrapper(net, None, None, out, str(tmp_path / 'logs'))
     params, _ = sw.train_model(max_iters=9)
     assert any(f.endswith('.ckpt.npz') for f in os.listdir(out))
+
+
+def test_mesh_gather_matches_single_device(tmp_path):
+    """DP gather path (store replicated, [N] indices batch-sharded over the
+    8-device mesh) == single-device gather on the same store: identical
+    losses and final params — the sharding annotations cannot change the
+    math (parallel/mesh.py:make_parallel_train_step_gather)."""
+    import cv2
+    from lstm_ctc_ocr_tpu.data.device_store import RecordsDeviceFeed
+    from lstm_ctc_ocr_tpu.data.records import (
+        RecordsDataset, write_image_annotation_pairs_to_records)
+    from lstm_ctc_ocr_tpu.engine.train import (make_optimizer,
+                                               make_train_step_gather)
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+    from lstm_ctc_ocr_tpu.parallel import mesh as pmesh
+
+    cfg.TRAIN.DTYPE = 'float32'
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    rng = np.random.RandomState(5)
+    for i in range(16):
+        lab = ''.join(rng.choice(list('abc049'), 4))
+        cv2.imwrite(str(img_dir / '{:08d}_{}.png'.format(i, lab)),
+                    rng.randint(0, 255, (32, 100), dtype=np.uint8))
+    path = str(tmp_path / 't.records')
+    write_image_annotation_pairs_to_records(str(img_dir), path)
+
+    net = get_network('LSTM_train')
+    tx = make_optimizer()
+    n, steps, seed = 8, 3, 11
+
+    def init():
+        params = net.init_params(jax.random.PRNGKey(0),
+                                 {'data': (n, 128, 32),
+                                  'time_step_len': (n,)})
+        return params, tx.init(params), net.init_bn_state()
+
+    def run(mesh):
+        ds = RecordsDataset(path)
+        feed = RecordsDeviceFeed(ds, seed=seed, verbose=False, mesh=mesh)
+        ds.close()
+        params, opt_state, bn_state = init()
+        if mesh is not None:
+            repl = pmesh.replicated(mesh)
+            params = jax.device_put(params, repl)
+            opt_state = jax.device_put(opt_state, repl)
+            bn_state = jax.device_put(bn_state, repl)
+            gstep = pmesh.make_parallel_train_step_gather(net, tx, None,
+                                                          mesh)
+        else:
+            gstep = make_train_step_gather(net, tx, None)
+        losses = []
+        for i in range(steps):
+            idx = feed.next_indices(n, 1)
+            params, opt_state, bn_state, total, _ = gstep(
+                params, opt_state, bn_state, *feed.store.arrays,
+                jnp.asarray(idx[0]), i)
+            losses.append(float(total))
+        return losses, jax.device_get(params)
+
+    losses_1, params_1 = run(None)
+    losses_8, params_8 = run(pmesh.make_mesh(8))
+    # 8-shard psum reassociates the f32 batch reduction, so per-step values
+    # drift at float precision and compound over steps — same tolerance as
+    # tests/test_parallel.py's host-batch DP equivalence
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-4)
+    # Adam's sqrt(v) normalization turns any f32 grad drift on a
+    # near-zero-grad entry into a possible sign flip of that entry's
+    # whole ±lr-sized update, so params can only be bounded by
+    # ~2*steps*lr (6e-4 here) — the loss trajectory above is the tight
+    # equivalence check
+    lr = float(cfg.TRAIN.LEARNING_RATE)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
+        np.testing.assert_allclose(b, a, rtol=0, atol=4 * steps * lr)
+
+
+def test_solver_runs_on_device_feed_mesh(tmp_path, monkeypatch):
+    """SolverWrapper with DATA_DEVICE='on' AND a DP mesh over the 8 virtual
+    devices: the replicated store, sharded-index gather step, and the pool
+    refresh flush (donated in-place row update on replicated arrays) all
+    run in the production loop."""
+    monkeypatch.chdir(tmp_path)
+    from lstm_ctc_ocr_tpu.engine.train import SolverWrapper
+
+    cfg.TRAIN.DTYPE = 'float32'
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.SNAPSHOT_ITERS = 4
+    cfg.TRAIN.DISPLAY = 2
+    cfg.TRAIN.STEPS_PER_DISPATCH = 2
+    cfg.VAL.VAL_STEP = 1000
+    cfg.VAL.BATCH_SIZE = 8
+    cfg.DATA_BACKEND = 'pool'
+    cfg.DATA_DEVICE = 'on'
+    cfg.PARALLEL = 'auto'
+    cfg.POOL_SIZE = 16
+    cfg.POOL_REFRESH = 1
+    cfg.MIN_LEN = cfg.MAX_LEN = 4
+    cfg.CHARSET = '0123456789'
+
+    from lstm_ctc_ocr_tpu.models.factory import get_network
+    net = get_network('LSTM_train')
+    out = str(tmp_path / 'out')
+    os.makedirs(out, exist_ok=True)
+    sw = SolverWrapper(net, None, None, out, str(tmp_path / 'logs'))
+    params, _ = sw.train_model(max_iters=9)
+    assert any(f.endswith('.ckpt.npz') for f in os.listdir(out))
