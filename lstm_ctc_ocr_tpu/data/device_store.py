@@ -257,31 +257,48 @@ def make_device_feed(batch_size: int, verbose: bool = True, mesh=None):
     With ``mesh`` the store is replicated across the DP mesh and the
     caller must use the parallel gather steps
     (parallel/mesh.py:make_parallel_train_step_gather) — index arrays are
-    GLOBAL-batch rows, sharded by the step's in_shardings. Single-process
-    only either way: on a multi-host mesh each host sees a different
-    sampler stream, so device residence stays per-host-stream
-    (future work); the solver falls back to host batches there.
+    GLOBAL-batch rows, sharded by the step's in_shardings. Without a mesh
+    the store lives on the default device — the one the un-annotated jit
+    step runs on — so single-device training on a multi-device host
+    (PARALLEL='off') qualifies too. Single-process only: multi-host runs
+    take the sharded per-host layout (make_sharded_device_feed) via the
+    solver, not this gate.
 
-    'auto' requires: backend in (pool, records), one process, a single
-    visible device OR an explicit mesh, and an estimated per-replica store
-    under cfg.DATA_DEVICE_MAX_MB.
+    'auto' requires: backend in (pool, records), one process, and an
+    estimated per-replica store under cfg.DATA_DEVICE_MAX_MB. A declined
+    'auto' says WHICH gate declined — silently falling back to host
+    batches costs ~3x sustained throughput on a transfer-bound host
+    (PERF.md), which nobody should have to diagnose from a speed drop.
     """
     import jax
     setting = str(cfg.DATA_DEVICE)
     backend = str(cfg.DATA_BACKEND)
     if setting == 'off':
         return None
-    ok = backend in ('pool', 'records') and jax.process_count() == 1
-    if ok and setting == 'auto':
-        ok = ((mesh is not None or len(jax.devices()) == 1)
-              and estimate_store_mb(backend) <= float(cfg.DATA_DEVICE_MAX_MB))
-    if not ok:
+
+    def decline(why):
         if setting == 'on':
-            raise ValueError(
-                "DATA_DEVICE 'on' needs DATA_BACKEND pool|records (got {}) "
-                "and a single process (got {})"
-                .format(backend, jax.process_count()))
+            raise ValueError("DATA_DEVICE 'on': " + why)
+        if verbose:
+            print('DATA_DEVICE auto: using host batches — ' + why,
+                  flush=True)
         return None
+
+    if backend not in ('pool', 'records'):
+        return decline(
+            "backend '{}' has no fixed dataset to upload (pool|records "
+            'only; synth is an unbounded stream)'.format(backend))
+    if jax.process_count() > 1:
+        return decline(
+            'multi-host run ({} processes) — the solver uses the sharded '
+            'per-host store instead'.format(jax.process_count()))
+    if setting == 'auto':
+        est_mb = estimate_store_mb(backend)
+        if est_mb > float(cfg.DATA_DEVICE_MAX_MB):
+            return decline(
+                'estimated store {:.0f} MB exceeds DATA_DEVICE_MAX_MB={} '
+                '(raise the cap or set DATA_DEVICE on to force)'.format(
+                    est_mb, cfg.DATA_DEVICE_MAX_MB))
     seed = int(cfg.RNG_SEED) + 100003 * jax.process_index()
     if backend == 'records':
         from .records import RecordsDataset

@@ -538,6 +538,16 @@ class SolverWrapper:
             org = [vb.label[i, :vb.label_len[i]].tolist()
                    for i in range(vb.label.shape[0])]
             acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
+            if jax.process_count() > 1:
+                # GLOBAL exact-match accuracy: each process scores its own
+                # local val rows, then the match/total counts reduce across
+                # hosts — otherwise every host prints only its local-shard
+                # number and no global metric exists anywhere
+                # (tests/multihost_worker.py pins global == single-process)
+                from jax.experimental import multihost_utils
+                local = np.asarray([acc * len(org), len(org)], np.float32)
+                counts = np.asarray(multihost_utils.process_allgather(local))
+                acc = float(counts[:, 0].sum() / counts[:, 1].sum())
             self.writer.add_scalar('val_accuracy', acc, it)
             print('accuracy: {:.5f}'.format(acc), flush=True)
 

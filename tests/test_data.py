@@ -226,3 +226,23 @@ def test_pool_cache_roundtrip(tmp_path, monkeypatch):
         assert not os.path.exists(pool_mod._cache_path(6, 3))
     finally:
         cfg.CHARSET, cfg.MIN_LEN, cfg.MAX_LEN = old
+
+
+def test_vis_batch_contact_sheet(tmp_path):
+    """tools/vis_batch.py (the reference gen.py vis-hook equivalent): a
+    synth host batch renders to a labeled contact-sheet PNG."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / 'sheet.png')
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, 'tools', 'vis_batch.py'),
+         '--n', '4', '--cols', '2', '--out', out,
+         '--set', 'MIN_LEN', '2', 'MAX_LEN', '3'],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    from PIL import Image
+    with Image.open(out) as im:
+        assert im.size[0] > 50 and im.size[1] > 50
