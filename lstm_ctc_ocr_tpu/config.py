@@ -188,6 +188,14 @@ __C.TRANSFER_DTYPE = 'uint8'   # 'uint8' | 'float32'
 # backend can't), 'off' always streams host batches.
 __C.DATA_DEVICE = 'auto'       # 'auto' | 'on' | 'off'
 __C.DATA_DEVICE_MAX_MB = 2048  # 'auto' size gate for the HBM store
+# Store layout on a mesh: 'auto' replicates the store per device in
+# single-process runs (global uniform sampling, zero gather traffic) and
+# shards it per device on multi-host runs (each host uploads its local
+# devices' partitions). 'sharded' forces per-device partitions even
+# single-process — n_dev x less HBM for datasets too big to replicate,
+# with distributed-loader sampling semantics (device d samples only its
+# own partition; one epoch still covers every row exactly once).
+__C.DATA_DEVICE_LAYOUT = 'auto'  # 'auto' | 'sharded'
 # Device parallelism for the training CLI: 'auto' builds a DP mesh over every
 # visible chip (largest device count dividing the batch sizes), 'off' forces
 # the single-device step. The reference is single-GPU (train_net.py:59);

@@ -228,8 +228,10 @@ def make_train_chunk_step_gather(net, tx, dtype, n_steps,
     """K gather-steps per dispatch: lax.scan over [K, N] index rows against
     the device-resident store. Unlike the host-batch chunk program
     (make_train_chunk_step), there is nothing left to transfer per step,
-    so the K-fold dispatch amortization is pure win — and the store is a
-    single bucket, so groups never break on width changes."""
+    so the K-fold dispatch amortization helps rather than hurts — measured
+    +11% at K=8 and +13.5% at K=16 over the store's K=1 rate on the chip
+    (PERF.md "Device-resident dataset") — and the store is a single
+    bucket, so groups never break on width changes."""
     sgd_step = _make_sgd_step(net, tx, dtype)
     jit_kwargs = {'donate_argnums': (0, 1, 2)}
     if in_shardings is not None:
@@ -247,6 +249,77 @@ def make_train_chunk_step_gather(net, tx, dtype, n_steps,
                 jnp.take(img, idx, axis=0), jnp.take(lab, idx, axis=0),
                 jnp.take(lab_len, idx, axis=0),
                 jnp.take(t_step, idx, axis=0), i)
+            return (params, opt_state, bn_state), (total, ctc)
+
+        steps = jnp.asarray(step_idx0, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32)
+        (params, opt_state, bn_state), (totals, ctcs) = jax.lax.scan(
+            body, (params, opt_state, bn_state), (idxs, steps))
+        return params, opt_state, bn_state, totals, ctcs
+
+    return chunk
+
+
+def make_train_step_gather_blocks(net, tx, dtype, in_shardings=None,
+                                  out_shardings=None):
+    """Gather step for the SHARDED device store (per-device row blocks).
+
+    The store arrays carry a leading device axis — ``img [D, R, W, F]``
+    sharded over the mesh's data axis, so device ``d`` holds only its own
+    ``R``-row partition — and ``idx [D, B/D]`` (same sharding) holds each
+    device's LOCAL row ids. The batched ``vmap(take)`` gathers block-local
+    rows: the sharded operands share the mesh axis, so GSPMD partitions the
+    gather with no collective, and each chip reads only its own HBM. This
+    is the multi-host device-residence layout (data/device_store.py:
+    ShardedDeviceStore): hosts feed disjoint dataset partitions and ship
+    only index arrays after the one-time upload."""
+    sgd_step = _make_sgd_step(net, tx, dtype)
+    jit_kwargs = {'donate_argnums': (0, 1, 2)}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
+
+    take = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    @functools.partial(jax.jit, **jit_kwargs)
+    def step(params, opt_state, bn_state, img, lab, lab_len, t_step,
+             idx, step_idx):
+        return sgd_step(params, opt_state, bn_state,
+                        flat(take(img, idx)), flat(take(lab, idx)),
+                        flat(take(lab_len, idx)), flat(take(t_step, idx)),
+                        step_idx)
+    return step
+
+
+def make_train_chunk_step_gather_blocks(net, tx, dtype, n_steps,
+                                        in_shardings=None,
+                                        out_shardings=None):
+    """K block-gather steps per dispatch: lax.scan over ``idxs [K, D, B/D]``
+    against the sharded store (make_train_step_gather_blocks semantics)."""
+    sgd_step = _make_sgd_step(net, tx, dtype)
+    jit_kwargs = {'donate_argnums': (0, 1, 2)}
+    if in_shardings is not None:
+        jit_kwargs['in_shardings'] = in_shardings
+        jit_kwargs['out_shardings'] = out_shardings
+
+    take = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))
+
+    def flat(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    @functools.partial(jax.jit, **jit_kwargs)
+    def chunk(params, opt_state, bn_state, img, lab, lab_len, t_step,
+              idxs, step_idx0):
+        def body(carry, xs):
+            params, opt_state, bn_state = carry
+            idx, i = xs
+            params, opt_state, bn_state, total, ctc = sgd_step(
+                params, opt_state, bn_state,
+                flat(take(img, idx)), flat(take(lab, idx)),
+                flat(take(lab_len, idx)), flat(take(t_step, idx)), i)
             return (params, opt_state, bn_state), (total, ctc)
 
         steps = jnp.asarray(step_idx0, jnp.int32) + jnp.arange(
@@ -277,6 +350,23 @@ def make_decode_step(net, dtype, in_shardings=None, out_shardings=None):
                                merge_repeated=bool(cfg.BEAM_MERGE_REPEATED))
         return greedy_decode(logits, time_step)
     return decode_step
+
+
+def global_accuracy(local_acc: float, local_n: int) -> float:
+    """GLOBAL exact-match accuracy from per-process local scores.
+
+    Each process scores only its own local val rows; the match/total counts
+    reduce across hosts here — otherwise every host would print only its
+    local-shard number and no global metric would exist anywhere
+    (tests/multihost_worker.py pins global == the single-process value).
+    Identity on single-process runs.
+    """
+    if jax.process_count() == 1:
+        return local_acc
+    from jax.experimental import multihost_utils
+    local = np.asarray([local_acc * local_n, local_n], np.float32)
+    counts = np.asarray(multihost_utils.process_allgather(local))
+    return float(counts[:, 0].sum() / counts[:, 1].sum())
 
 
 def effective_workers(requested: int) -> int:
@@ -415,17 +505,33 @@ class SolverWrapper:
         mesh = self._select_mesh(n)
         # device-resident dataset (cfg.DATA_DEVICE): the pool/records rows
         # live in HBM and the step gathers by row index — per-step transfer
-        # drops from the image batch to a ~1 KB index array (PERF.md). On a
-        # DP mesh the store is replicated per device and the index array
-        # batch-sharded (parallel/mesh.py); multi-host stays on host batches
-        # (each host owns a different sampler stream).
+        # drops from the image batch to a ~1 KB index array (PERF.md
+        # "Device-resident store", measured). Single-process: the store is
+        # replicated per device and the index array batch-sharded on a DP
+        # mesh (parallel/mesh.py). Multi-host: each device holds its OWN
+        # dataset partition built from its host's local sampler stream
+        # (ShardedDeviceStore) and hosts ship only per-device index rows.
         feed = None
         train_step_gather = chunk_gather = None
-        if jax.process_count() == 1:
+        force_sharded = (str(cfg.DATA_DEVICE_LAYOUT) == 'sharded'
+                         and mesh is not None)
+        if jax.process_count() == 1 and not force_sharded:
             from ..data.device_store import make_device_feed
             feed = make_device_feed(n, mesh=mesh)
+        elif mesh is not None:
+            from ..data.device_store import make_sharded_device_feed
+            feed = make_sharded_device_feed(n, mesh)
         if feed is not None:
-            if mesh is not None:
+            if getattr(feed, 'layout', 'replicated') == 'sharded':
+                from ..parallel import mesh as pmesh
+                train_step_gather = \
+                    pmesh.make_parallel_train_step_gather_sharded(
+                        self.net, tx, dtype, mesh)
+                if n_dispatch > 1:
+                    chunk_gather = \
+                        pmesh.make_parallel_train_chunk_step_gather_sharded(
+                            self.net, tx, dtype, mesh, n_dispatch)
+            elif mesh is not None:
                 from ..parallel import mesh as pmesh
                 train_step_gather = pmesh.make_parallel_train_step_gather(
                     self.net, tx, dtype, mesh)
@@ -538,16 +644,7 @@ class SolverWrapper:
             org = [vb.label[i, :vb.label_len[i]].tolist()
                    for i in range(vb.label.shape[0])]
             acc = accuracy_calculation(org, dec.tolist(), ignore_value=0)
-            if jax.process_count() > 1:
-                # GLOBAL exact-match accuracy: each process scores its own
-                # local val rows, then the match/total counts reduce across
-                # hosts — otherwise every host prints only its local-shard
-                # number and no global metric exists anywhere
-                # (tests/multihost_worker.py pins global == single-process)
-                from jax.experimental import multihost_utils
-                local = np.asarray([acc * len(org), len(org)], np.float32)
-                counts = np.asarray(multihost_utils.process_allgather(local))
-                acc = float(counts[:, 0].sum() / counts[:, 1].sum())
+            acc = global_accuracy(acc, len(org))
             self.writer.add_scalar('val_accuracy', acc, it)
             print('accuracy: {:.5f}'.format(acc), flush=True)
 
@@ -625,19 +722,21 @@ class SolverWrapper:
                     cfg.VAL.VAL_STEP - it % cfg.VAL.VAL_STEP)
                 if feed is not None:
                     # device-resident path: ship indices, gather on device
+                    # (index layout is the feed's contract — [m, N] global
+                    # rows for the replicated store, [m, D, B/D] per-device
+                    # local rows for the sharded one)
                     m = target if (chunk_gather is not None and target == K) \
                         else 1
-                    idxs = feed.next_indices(local_n, m)
                     if m > 1:
                         params, opt_state, bn_state, totals, ctcs = \
                             chunk_gather(params, opt_state, bn_state,
                                          *feed.store.arrays,
-                                         jnp.asarray(idxs), it)
+                                         feed.chunk_indices(n, m), it)
                     else:
                         params, opt_state, bn_state, total, ctc = \
                             train_step_gather(params, opt_state, bn_state,
                                               *feed.store.arrays,
-                                              jnp.asarray(idxs[0]), it)
+                                              feed.step_indices(n), it)
                         totals = [total]
                     feed.tick(m)
                     if pending is not None:

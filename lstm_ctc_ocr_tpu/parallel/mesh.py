@@ -178,6 +178,48 @@ def make_parallel_train_chunk_step_gather(net, tx, dtype, mesh: Mesh,
         out_shardings=(repl, repl, repl, repl, repl))
 
 
+def block_sharded(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Sharding for per-device block arrays [D, ...]: the leading device
+    axis sharded, everything after it local to the owning device."""
+    return NamedSharding(mesh, P(axis))
+
+
+def make_parallel_train_step_gather_sharded(net, tx, dtype, mesh: Mesh,
+                                            axis: str = 'data'):
+    """DP gather step for the SHARDED device store: per-device row blocks
+    [D, R, ...] and per-device index rows [D, B/D] both sharded on the
+    leading device axis — each chip gathers its batch shard from its OWN
+    dataset partition (no replication, no cross-chip gather traffic), and
+    the only collective stays the grad psum. This is the multi-host
+    device-residence layout: each host uploads only its local devices'
+    partitions (data/device_store.py:ShardedDeviceStore)."""
+    from ..engine.train import make_train_step_gather_blocks
+    repl = replicated(mesh)
+    bsh = block_sharded(mesh, axis)
+    # args: params, opt_state, bn_state, img, lab, lab_len, t_step, idx,
+    # step_idx
+    return make_train_step_gather_blocks(
+        net, tx, dtype,
+        in_shardings=(repl, repl, repl, bsh, bsh, bsh, bsh, bsh, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
+
+
+def make_parallel_train_chunk_step_gather_sharded(net, tx, dtype, mesh: Mesh,
+                                                  n_steps: int,
+                                                  axis: str = 'data'):
+    """K-step dispatch chunk over the sharded store: idxs [K, D, B/D] with
+    the device axis (axis 1) sharded, store blocks + state as in
+    :func:`make_parallel_train_step_gather_sharded`."""
+    from ..engine.train import make_train_chunk_step_gather_blocks
+    repl = replicated(mesh)
+    bsh = block_sharded(mesh, axis)
+    ksh = NamedSharding(mesh, P(None, axis))
+    return make_train_chunk_step_gather_blocks(
+        net, tx, dtype, n_steps,
+        in_shardings=(repl, repl, repl, bsh, bsh, bsh, bsh, ksh, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
+
+
 def make_parallel_decode_step(net, dtype, mesh: Mesh, axis: str = 'data'):
     """DP decode step for batched validation/eval across the mesh (same
     delegation as the train step)."""

@@ -62,8 +62,47 @@ def main():
                                      label_len[lo:hi], time_step[lo:hi])
     params, opt_state, bn_state, total, ctc = step(
         params, opt_state, bn_state, *sharded, 0)
+
+    # ---- sharded device store: per-host partitions, block-index gather ----
+    # Blocks are seeded by GLOBAL device id, so the single-process harness
+    # (test_multihost.py) rebuilds the identical global store on its own
+    # 8-device mesh and must reproduce these losses.
+    from lstm_ctc_ocr_tpu.data.device_store import ShardedDeviceStore
+    d_local, rows = 4, 6
+    first = pid * d_local
+    chars = list('abc049')
+    images, labels = [], []
+    for i in range(d_local):
+        r = np.random.RandomState(1000 + first + i)
+        images.append([r.randint(0, 256, (32, 80), np.uint8)
+                       for _ in range(rows)])
+        labels.append([''.join(r.choice(chars, 4)) for _ in range(rows)])
+    store = ShardedDeviceStore(images, labels, 'uniform', seed=5, mesh=m,
+                               verbose=False)
+    params2 = net.init_params(
+        jax.random.PRNGKey(0),
+        {'data': (n, store.w_bucket, 32), 'time_step_len': (n,)})
+    opt2 = jax.device_put(tx.init(params2), repl)
+    params2 = jax.device_put(params2, repl)
+    bn2 = jax.device_put(net.init_bn_state(), repl)
+    gstep = pmesh.make_parallel_train_step_gather_sharded(net, tx, None, m)
+    sharded_losses = []
+    for i in range(2):
+        params2, opt2, bn2, t2, _ = gstep(
+            params2, opt2, bn2, *store.arrays, store.step_indices(n), i)
+        sharded_losses.append(float(t2))
+
+    # ---- global val-accuracy reduction (engine.train.run_val path) ----
+    # host 0 scores 4/4 locally, host 1 scores 2/4 -> the reported global
+    # number must be 6/8 = 0.75 on BOTH hosts (the single-process value
+    # for the union of the two shards)
+    from lstm_ctc_ocr_tpu.engine.train import global_accuracy
+    gacc = global_accuracy(1.0 if pid == 0 else 0.5, 4)
+
     print(json.dumps({'process': pid, 'loss': float(total),
-                      'ctc': float(ctc)}), flush=True)
+                      'ctc': float(ctc),
+                      'sharded_losses': sharded_losses,
+                      'global_val_acc': gacc}), flush=True)
 
 
 if __name__ == '__main__':

@@ -82,6 +82,41 @@ def test_two_process_dp_step_matches_single_process():
         _, _, _, total, _ = step(params, opt_state, bn_state, *sharded, 0)
         np.testing.assert_allclose(losses[0][1], float(total),
                                    rtol=1e-5, atol=1e-6)
+
+        # global val accuracy: both processes must report the union number
+        # (host 0: 4/4, host 1: 2/4 -> 0.75), == the single-process value
+        for o in outs:
+            assert abs(o['global_val_acc'] - 0.75) < 1e-6, o
+
+        # sharded device store: the 2-process per-host-partition run must
+        # match the identical store rebuilt single-process on this suite's
+        # own 8-device mesh (blocks are seeded by GLOBAL device id)
+        from lstm_ctc_ocr_tpu.data.device_store import ShardedDeviceStore
+        assert outs[0]['sharded_losses'] == outs[1]['sharded_losses']
+        chars = list('abc049')
+        images, labels = [], []
+        for g in range(8):
+            r = np.random.RandomState(1000 + g)
+            images.append([r.randint(0, 256, (32, 80), np.uint8)
+                           for _ in range(6)])
+            labels.append([''.join(r.choice(chars, 4)) for _ in range(6)])
+        store = ShardedDeviceStore(images, labels, 'uniform', seed=5,
+                                   mesh=m, verbose=False)
+        params2 = net.init_params(
+            jax.random.PRNGKey(0),
+            {'data': (n, store.w_bucket, 32), 'time_step_len': (n,)})
+        opt2 = jax.device_put(tx.init(params2), pmesh.replicated(m))
+        params2 = jax.device_put(params2, pmesh.replicated(m))
+        bn2 = jax.device_put(net.init_bn_state(), pmesh.replicated(m))
+        gstep = pmesh.make_parallel_train_step_gather_sharded(net, tx, None,
+                                                              m)
+        ref_losses = []
+        for i in range(2):
+            params2, opt2, bn2, t2, _ = gstep(
+                params2, opt2, bn2, *store.arrays, store.step_indices(n), i)
+            ref_losses.append(float(t2))
+        np.testing.assert_allclose(outs[0]['sharded_losses'], ref_losses,
+                                   rtol=1e-5, atol=1e-6)
     finally:
         cfg.TRAIN.clear()
         for k, v in old_train.items():
