@@ -374,6 +374,14 @@ if __name__ == '__main__':
                          'instead: the real solver-style loop fed live by '
                          'cfg.DATA_BACKEND for this many seconds '
                          '(device-capability mode cycles prefetched batches)')
+    ap.add_argument('--sustained-seconds', type=int, default=45,
+                    help='length of the sustained end-to-end phase appended '
+                         'to the headline run (0 skips it). The headline '
+                         'sustained phase uses the pool backend — the feed '
+                         'real training runs use on this 1-core host — so '
+                         'the JSON tracks the ACTUAL loop (host feed + '
+                         'transfer/gather + device step), not just device '
+                         'capability')
     ap.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                     default=None,
                     help="cfg overrides, e.g. --set CONV_IMPL '\"shifted\"' "
@@ -434,4 +442,27 @@ if __name__ == '__main__':
         result['tflops_achieved'] = round(achieved / 1e12, 2)
         peak = peak_flops_for(device_kind)
         result['mfu'] = round(achieved / peak, 4) if peak else None
+
+    # sustained end-to-end alongside device capability, so a regression in
+    # the REAL loop (feed, transfer/gather, dispatch cadence) is
+    # driver-visible, not just a regression in the step program. Pool
+    # backend: the feed real training runs use here (records needs an
+    # untracked dataset file); DATA_DEVICE stays at its default.
+    if args.sustained_seconds > 0:
+        from lstm_ctc_ocr_tpu.config import cfg
+        backend_overridden = args.cfg is not None or (
+            args.set_cfgs and 'DATA_BACKEND' in args.set_cfgs)
+        if not backend_overridden:
+            cfg.DATA_BACKEND = 'pool'
+        try:
+            s_ips, s_steps, s_dt, dev_res = bench_sustained(
+                args.sustained_seconds, args.batch)
+            result['sustained_img_s'] = round(s_ips, 2)
+            result['sustained_backend'] = str(cfg.DATA_BACKEND)
+            result['sustained_device_resident'] = dev_res
+            result['sustained_seconds'] = round(s_dt, 1)
+        except Exception as e:
+            print('sustained phase failed ({}); sustained_img_s -> null'
+                  .format(e), file=sys.stderr)
+            result['sustained_img_s'] = None
     print(json.dumps(result))
