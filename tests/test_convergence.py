@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from lstm_ctc_ocr_tpu.config import cfg, cfg_from_file
 
+pytestmark = pytest.mark.slow   # multi-minute: see pytest.ini
+
 
 @pytest.fixture(autouse=True)
 def _digit_cfg():

@@ -171,6 +171,7 @@ def test_records_feed_trajectory_matches_host_path(tmp_path):
     np.testing.assert_allclose(dev_losses, host_losses, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_solver_runs_on_device_feed(tmp_path, monkeypatch):
     """SolverWrapper end to end with DATA_DEVICE='on' over the pool backend:
     trains, refreshes, snapshots — the production loop, CPU-sized."""
@@ -276,6 +277,7 @@ def test_mesh_gather_matches_single_device(tmp_path):
         np.testing.assert_allclose(b, a, rtol=0, atol=4 * steps * lr)
 
 
+@pytest.mark.slow
 def test_solver_runs_on_device_feed_mesh(tmp_path, monkeypatch):
     """SolverWrapper with DATA_DEVICE='on' AND a DP mesh over the 8 virtual
     devices: the replicated store, sharded-index gather step, and the pool

@@ -73,6 +73,7 @@ def test_sharded_epoch_covers_every_row_once():
         assert sorted(seen[d]) == list(range(8)), seen[d]
 
 
+@pytest.mark.slow
 def test_sharded_gather_matches_host_batches():
     """N sharded-gather steps == N host-batch DP steps on the SAME mesh fed
     the batches the gather assembles (device-major concat of each device's
@@ -162,6 +163,7 @@ def test_sharded_refresh_flush_updates_blocks():
     assert int(np.asarray(store.lab_len)[1, 2]) == 2
 
 
+@pytest.mark.slow
 def test_solver_runs_sharded_layout(tmp_path, monkeypatch):
     """SolverWrapper end to end with DATA_DEVICE_LAYOUT='sharded' over the
     8-device mesh: per-device pool partitions, block-gather chunk steps,

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 
 from lstm_ctc_ocr_tpu.config import cfg
 
+pytestmark = pytest.mark.slow   # multi-minute: see pytest.ini
+
 
 @pytest.fixture
 def f32_cfg():
