@@ -324,3 +324,44 @@ def test_solver_runs_on_device_feed_mesh(tmp_path, monkeypatch):
     # 9 iters x 8 refreshes = 72 staged rows -> at least two full 32-row
     # flushes landed BETWEEN gather steps (plus the teardown remainder)
     assert flush_sizes.count(32) >= 2, flush_sizes
+
+
+def test_auto_gate_declines_loudly(capsys):
+    """A declined DATA_DEVICE='auto' names the gate that declined (VERDICT
+    contract: no silent fall-back to the ~2x-slower host-batch path), and
+    'on' raises with the same reason."""
+    from lstm_ctc_ocr_tpu.data.device_store import make_device_feed
+
+    cfg.DATA_DEVICE = 'auto'
+    cfg.DATA_BACKEND = 'synth'
+    assert make_device_feed(8) is None
+    out = capsys.readouterr().out
+    assert 'DATA_DEVICE auto: using host batches' in out
+    assert "backend 'synth'" in out
+
+    cfg.DATA_BACKEND = 'pool'
+    cfg.DATA_DEVICE_MAX_MB = 0.0001          # force the size gate
+    assert make_device_feed(8) is None
+    out = capsys.readouterr().out
+    assert 'exceeds DATA_DEVICE_MAX_MB' in out
+
+    cfg.DATA_DEVICE = 'on'
+    cfg.DATA_BACKEND = 'synth'
+    with pytest.raises(ValueError, match="backend 'synth'"):
+        make_device_feed(8)
+
+
+def test_auto_gate_accepts_single_device_without_mesh(tmp_path, monkeypatch):
+    """ADVICE r4: PARALLEL='off' on a multi-device host must still get the
+    store (mesh=None runs the un-annotated jit step on the default device,
+    where the store lives) — the device-count gate is gone."""
+    monkeypatch.chdir(tmp_path)
+    from lstm_ctc_ocr_tpu.data.device_store import make_device_feed
+    cfg.DATA_DEVICE = 'auto'
+    cfg.DATA_BACKEND = 'pool'
+    cfg.POOL_SIZE = 8
+    cfg.MIN_LEN = cfg.MAX_LEN = 4
+    cfg.CHARSET = '0123456789'
+    # the suite runs with 8 visible virtual devices and no mesh here
+    feed = make_device_feed(4, verbose=False, mesh=None)
+    assert feed is not None and feed.layout == 'replicated'
