@@ -627,13 +627,21 @@ class SolverWrapper:
         # compiled-signature set stays at most {1-step, K-step} per bucket.
         pending = None                  # (first_it, totals, group_len)
 
+        val_dev = None             # device-cached (image, time_step) pair
+
         def run_val(it):
-            nonlocal val_batch
+            nonlocal val_batch, val_dev
             if val_batch is None:  # cached first batch (train.py:146-149)
                 val_batch = next(val_gen)
+                # ship it once: the SAME batch is validated every time
+                # (reference parity), so re-transferring it per call only
+                # costs tunnel bandwidth — and on this tunnel every
+                # host->device batch also leaks host RSS (CLAUDE.md). The
+                # decode step does not donate its inputs, so the cached
+                # device arrays survive across calls.
+                val_dev = put(val_batch.image, val_batch.time_step)
             vb = val_batch
-            dec_arr = decode_step(params, bn_state,
-                                  *put(vb.image, vb.time_step))
+            dec_arr = decode_step(params, bn_state, *val_dev)
             if jax.process_count() > 1:
                 # this host's rows only: its addressable shards, global order
                 shards = sorted(dec_arr.addressable_shards,
