@@ -349,7 +349,42 @@ def get_baseline(batch, width, refresh=False):
     return ips
 
 
+def _run_with_wedge_retry():
+    """Re-exec the benchmark in a child process and retry once if it wedges.
+
+    The TPU tunnel on this host intermittently WEDGES a fresh process at
+    its first device contact (~0% CPU forever, no output; see CLAUDE.md) —
+    measured at roughly 1-in-5 process starts on a bad day. A wedged
+    driver bench run would lose the round's BENCH json, so the parent
+    re-execs itself with BENCH_CHILD=1, streams the child's stdout
+    through, and on a silent 1500 s timeout kills the child, lets the
+    tunnel settle, and retries once."""
+    import subprocess
+    for attempt in (1, 2):
+        env = dict(os.environ)
+        env['BENCH_CHILD'] = '1'
+        child = subprocess.Popen([sys.executable] + sys.argv, env=env,
+                                 cwd=REPO)
+        try:
+            rc = child.wait(timeout=1500)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
+            if attempt == 1:
+                print('bench child produced no result in 1500 s (tunnel '
+                      'wedge?); settling 120 s and retrying once',
+                      file=sys.stderr)
+                time.sleep(120)
+                continue
+            print('bench child wedged twice; giving up', file=sys.stderr)
+            sys.exit(1)
+        sys.exit(rc)
+
+
 if __name__ == '__main__':
+    if (os.environ.get('BENCH_CHILD') != '1'
+            and os.environ.get('BENCH_NO_RETRY') != '1'):
+        _run_with_wedge_retry()
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=100,
                     help='train steps per timing window '
