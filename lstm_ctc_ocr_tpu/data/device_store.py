@@ -399,14 +399,16 @@ class ShardedDeviceStore:
     # ---- pool-style refresh --------------------------------------------
     def stage_refresh(self, dev: int, row: int, image: np.ndarray,
                       label: str) -> None:
-        """Queue a fresh row for local device ``dev``. IMPORTANT: multi-host
-        flushes execute a global jitted scatter, so every host must stage
-        the SAME number of rows per device per step (the pool feed's
-        deterministic cadence guarantees this lockstep)."""
-        if image.shape[1] > self.w_bucket:
-            print('sharded store: skipping refresh row wider than bucket '
-                  '({} > {})'.format(image.shape[1], self.w_bucket))
-            image = image[:, :self.w_bucket]
+        """Queue a fresh row for local device ``dev``. The row must fit the
+        store bucket (the pool feed re-renders oversize rows — truncating
+        would cut glyphs off a full label, and skipping would desynchronize
+        the per-device pending counts that keep multi-host flushes in
+        lockstep: the global jitted scatter needs the SAME number of staged
+        rows per device on every host)."""
+        assert image.shape[1] <= self.w_bucket, \
+            'refresh row wider than the store bucket ({} > {}) — callers ' \
+            'must re-render (PoolShardedFeed.tick)'.format(
+                image.shape[1], self.w_bucket)
         self._pending[dev].append((row, image, label))
         if all(len(p) >= self._flush_every for p in self._pending):
             self.flush_refresh()
@@ -478,7 +480,20 @@ class PoolShardedFeed:
         for dev in range(len(self._render_rngs)):
             for _ in range(int(cfg.POOL_REFRESH) * steps):
                 row = int(self._refresh_rngs[dev].randint(self.store.rows))
-                im, lab = _render_resized(self._render_rngs[dev])
+                # oversize rows: re-render, NEVER skip (a skip would break
+                # the per-device lockstep multi-host flushes depend on).
+                # The bucket is the rounded-up max over thousands of draws
+                # from this same distribution, so a miss is rare and a
+                # persistent miss is a config error worth crashing on.
+                for attempt in range(1000):
+                    im, lab = _render_resized(self._render_rngs[dev])
+                    if im.shape[1] <= self.store.w_bucket:
+                        break
+                else:
+                    raise RuntimeError(
+                        'sharded pool refresh: 1000 renders in a row wider '
+                        'than the store bucket {} — the render distribution '
+                        'does not fit the store'.format(self.store.w_bucket))
                 self.store.stage_refresh(dev, row, im, lab)
 
 
