@@ -356,24 +356,38 @@ def _run_with_wedge_retry():
     its first device contact (~0% CPU forever, no output; see CLAUDE.md) —
     measured at roughly 1-in-5 process starts on a bad day. A wedged
     driver bench run would lose the round's BENCH json, so the parent
-    re-execs itself with BENCH_CHILD=1, streams the child's stdout
-    through, and on a silent 1500 s timeout kills the child, lets the
-    tunnel settle, and retries once."""
+    re-execs itself with BENCH_CHILD=1 and, if the child exceeds a
+    deadline scaled to the requested work (base 1800 s for compiles,
+    first-run pool render and the timing windows, plus any requested
+    sustained seconds), kills it, lets the tunnel settle, and retries
+    once."""
     import subprocess
+
+    def arg_val(flag, default):
+        if flag in sys.argv:
+            try:
+                return int(sys.argv[sys.argv.index(flag) + 1])
+            except (ValueError, IndexError):
+                pass
+        return default
+
+    deadline = (1800 + arg_val('--sustained', 0)
+                + arg_val('--sustained-seconds', 45)
+                + 2 * arg_val('--steps', 100))
     for attempt in (1, 2):
         env = dict(os.environ)
         env['BENCH_CHILD'] = '1'
         child = subprocess.Popen([sys.executable] + sys.argv, env=env,
                                  cwd=REPO)
         try:
-            rc = child.wait(timeout=1500)
+            rc = child.wait(timeout=deadline)
         except subprocess.TimeoutExpired:
             child.kill()
             child.wait()
             if attempt == 1:
-                print('bench child produced no result in 1500 s (tunnel '
-                      'wedge?); settling 120 s and retrying once',
-                      file=sys.stderr)
+                print('bench child produced no result in {} s (tunnel '
+                      'wedge?); settling 120 s and retrying once'
+                      .format(deadline), file=sys.stderr)
                 time.sleep(120)
                 continue
             print('bench child wedged twice; giving up', file=sys.stderr)
@@ -485,9 +499,13 @@ if __name__ == '__main__':
     # untracked dataset file); DATA_DEVICE stays at its default.
     if args.sustained_seconds > 0:
         from lstm_ctc_ocr_tpu.config import cfg
-        backend_overridden = args.cfg is not None or (
-            args.set_cfgs and 'DATA_BACKEND' in args.set_cfgs)
-        if not backend_overridden:
+        # the sustained phase measures the LOOP, not the PIL renderer: when
+        # the effective backend is the unbounded synth stream (default, or
+        # a --cfg YAML that doesn't pick a backend), substitute pool so
+        # sustained_img_s stays comparable across bench lines. An explicit
+        # --set DATA_BACKEND is the user's choice and is honored.
+        explicit = bool(args.set_cfgs) and 'DATA_BACKEND' in args.set_cfgs
+        if not explicit and str(cfg.DATA_BACKEND) == 'synth':
             cfg.DATA_BACKEND = 'pool'
         try:
             s_ips, s_steps, s_dt, dev_res = bench_sustained(

@@ -301,7 +301,7 @@ class ShardedDeviceStore:
                  labels_per_dev: List[List[str]], mode: str, seed: int,
                  mesh, flush_every: int = 32, verbose: bool = True):
         import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
         assert mode in ('uniform', 'epoch')
         self.mode = mode
         self.mesh = mesh
@@ -332,14 +332,8 @@ class ShardedDeviceStore:
                   '{:.1f} MB/host in HBM ({} devices, {} rows globally)'
                   .format(self.rows, w, self.nbytes / 1e6, self.n_dev,
                           self.rows * self.n_dev), flush=True)
-        bsh = NamedSharding(mesh, P('data'))
-        if jax.process_count() > 1:
-            put = functools.partial(
-                jax.make_array_from_process_local_data, bsh)
-        else:
-            put = functools.partial(jax.device_put, device=bsh)
         self.img, self.lab, self.lab_len, self.t_step = (
-            put(a) for a in local)
+            self._put(a, P('data')) for a in local)
         # per-local-device sampler streams, decorrelated by GLOBAL device id
         base = int(seed)
         first = jax.process_index() * self.d_local
@@ -434,12 +428,24 @@ class ShardedDeviceStore:
                 rows_g, *payload)
 
 
-class PoolShardedFeed:
+class _ShardedIndices:
+    """Solver-facing index API for sharded-store feeds (the counterpart of
+    :class:`_ReplicatedIndices`): delegate to the store's global-array
+    builders."""
+
+    layout = 'sharded'
+
+    def step_indices(self, global_batch: int):
+        return self.store.step_indices(global_batch)
+
+    def chunk_indices(self, global_batch: int, k: int):
+        return self.store.chunk_indices(global_batch, k)
+
+
+class PoolShardedFeed(_ShardedIndices):
     """Pool backend over the sharded store: this host renders one
     ``rows``-sized partition per LOCAL device from its own RNG streams;
     ``tick`` refreshes cfg.POOL_REFRESH rows per device per step."""
-
-    layout = 'sharded'
 
     def __init__(self, mesh, verbose: bool = True):
         import jax
@@ -469,12 +475,6 @@ class PoolShardedFeed:
         self.store = ShardedDeviceStore(images, labels, 'uniform',
                                         seed, mesh, verbose=verbose)
 
-    def step_indices(self, global_batch: int):
-        return self.store.step_indices(global_batch)
-
-    def chunk_indices(self, global_batch: int, k: int):
-        return self.store.chunk_indices(global_batch, k)
-
     def tick(self, steps: int = 1) -> None:
         from .pool import _render_resized
         for dev in range(len(self._render_rngs)):
@@ -497,13 +497,11 @@ class PoolShardedFeed:
                 self.store.stage_refresh(dev, row, im, lab)
 
 
-class RecordsShardedFeed:
+class RecordsShardedFeed(_ShardedIndices):
     """Records backend over the sharded store: GLOBAL device ``g`` owns
     dataset rows ``g::n_dev`` (strided partition; the < n_dev remainder
     rows are dropped so blocks stay equal-sized). Each host materializes
     only its local devices' partitions."""
-
-    layout = 'sharded'
 
     def __init__(self, ds, mesh, verbose: bool = True):
         import jax
@@ -532,25 +530,20 @@ class RecordsShardedFeed:
                                         int(cfg.RNG_SEED), mesh,
                                         verbose=verbose)
 
-    def step_indices(self, global_batch: int):
-        return self.store.step_indices(global_batch)
-
-    def chunk_indices(self, global_batch: int, k: int):
-        return self.store.chunk_indices(global_batch, k)
-
     def tick(self, steps: int = 1) -> None:   # records never refresh
         pass
 
 
-def make_sharded_device_feed(batch_size: int, mesh, verbose: bool = True):
-    """The multi-host DATA_DEVICE gate: a sharded per-device store when the
-    backend supports it and a per-host share fits, else None (host batches).
-    Same loudness contract as :func:`make_device_feed`."""
-    import jax
+def _feed_gate(verbose: bool):
+    """Shared DATA_DEVICE gate plumbing for both store layouts: the
+    (setting, backend) pair plus the decline protocol — 'on' raises with
+    the reason, 'auto' prints it (a silent fall-back to host batches costs
+    ~2x sustained throughput on a transfer-bound host, PERF.md, which
+    nobody should have to diagnose from a speed drop). Returns
+    (setting, backend, decline); pair with :func:`_backend_or_decline`
+    for the shared backend check."""
     setting = str(cfg.DATA_DEVICE)
     backend = str(cfg.DATA_BACKEND)
-    if setting == 'off':
-        return None
 
     def decline(why):
         if setting == 'on':
@@ -560,10 +553,30 @@ def make_sharded_device_feed(batch_size: int, mesh, verbose: bool = True):
                   flush=True)
         return None
 
-    if backend not in ('pool', 'records'):
-        return decline(
-            "backend '{}' has no fixed dataset to upload (pool|records "
+    return setting, backend, decline
+
+
+def _backend_or_decline(backend, decline):
+    """True when the backend has a fixed dataset to upload; else the loud
+    decline (shared wording for both layouts, pinned by
+    tests/test_device_store.py::test_auto_gate_declines_loudly)."""
+    if backend in ('pool', 'records'):
+        return True
+    decline("backend '{}' has no fixed dataset to upload (pool|records "
             'only; synth is an unbounded stream)'.format(backend))
+    return False
+
+
+def make_sharded_device_feed(batch_size: int, mesh, verbose: bool = True):
+    """The multi-host DATA_DEVICE gate: a sharded per-device store when the
+    backend supports it and a per-host share fits, else None (host batches).
+    Same loudness contract as :func:`make_device_feed`."""
+    import jax
+    setting, backend, decline = _feed_gate(verbose)
+    if setting == 'off':
+        return None
+    if not _backend_or_decline(backend, decline):
+        return None
     if batch_size % int(mesh.size):
         return decline('global batch {} does not divide over the {}-device '
                        'mesh'.format(batch_size, mesh.size))
@@ -628,23 +641,11 @@ def make_device_feed(batch_size: int, verbose: bool = True, mesh=None):
     (PERF.md), which nobody should have to diagnose from a speed drop.
     """
     import jax
-    setting = str(cfg.DATA_DEVICE)
-    backend = str(cfg.DATA_BACKEND)
+    setting, backend, decline = _feed_gate(verbose)
     if setting == 'off':
         return None
-
-    def decline(why):
-        if setting == 'on':
-            raise ValueError("DATA_DEVICE 'on': " + why)
-        if verbose:
-            print('DATA_DEVICE auto: using host batches — ' + why,
-                  flush=True)
+    if not _backend_or_decline(backend, decline):
         return None
-
-    if backend not in ('pool', 'records'):
-        return decline(
-            "backend '{}' has no fixed dataset to upload (pool|records "
-            'only; synth is an unbounded stream)'.format(backend))
     if jax.process_count() > 1:
         return decline(
             'multi-host run ({} processes) — the solver uses the sharded '
