@@ -349,7 +349,7 @@ def get_baseline(batch, width, refresh=False):
     return ips
 
 
-def _run_with_wedge_retry():
+def _run_with_wedge_retry(args):
     """Re-exec the benchmark in a child process and retry once if it wedges.
 
     The TPU tunnel on this host intermittently WEDGES a fresh process at
@@ -362,18 +362,11 @@ def _run_with_wedge_retry():
     sustained seconds), kills it, lets the tunnel settle, and retries
     once."""
     import subprocess
-
-    def arg_val(flag, default):
-        if flag in sys.argv:
-            try:
-                return int(sys.argv[sys.argv.index(flag) + 1])
-            except (ValueError, IndexError):
-                pass
-        return default
-
-    deadline = (1800 + arg_val('--sustained', 0)
-                + arg_val('--sustained-seconds', 45)
-                + 2 * arg_val('--steps', 100))
+    # argparse already parsed argv (the same argv the child re-parses), so
+    # every flag spelling argparse accepts (--flag=value, abbreviations)
+    # feeds the deadline
+    deadline = (1800 + args.sustained + args.sustained_seconds
+                + 2 * args.steps)
     for attempt in (1, 2):
         env = dict(os.environ)
         env['BENCH_CHILD'] = '1'
@@ -396,9 +389,6 @@ def _run_with_wedge_retry():
 
 
 if __name__ == '__main__':
-    if (os.environ.get('BENCH_CHILD') != '1'
-            and os.environ.get('BENCH_NO_RETRY') != '1'):
-        _run_with_wedge_retry()
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=100,
                     help='train steps per timing window '
@@ -436,6 +426,10 @@ if __name__ == '__main__':
                     help="cfg overrides, e.g. --set CONV_IMPL '\"shifted\"' "
                          '(impl A/Bs; the CLI surface semantics)')
     args = ap.parse_args()
+
+    if (os.environ.get('BENCH_CHILD') != '1'
+            and os.environ.get('BENCH_NO_RETRY') != '1'):
+        _run_with_wedge_retry(args)     # re-execs; does not return
 
     if args.cfg:
         from lstm_ctc_ocr_tpu.config import cfg_from_file
@@ -500,11 +494,16 @@ if __name__ == '__main__':
     if args.sustained_seconds > 0:
         from lstm_ctc_ocr_tpu.config import cfg
         # the sustained phase measures the LOOP, not the PIL renderer: when
-        # the effective backend is the unbounded synth stream (default, or
-        # a --cfg YAML that doesn't pick a backend), substitute pool so
-        # sustained_img_s stays comparable across bench lines. An explicit
-        # --set DATA_BACKEND is the user's choice and is honored.
+        # the backend is the unbounded synth stream BY DEFAULT (neither
+        # --set nor the --cfg YAML chose one), substitute pool so
+        # sustained_img_s stays comparable across bench lines. A backend
+        # chosen explicitly anywhere — including an explicit synth — is
+        # the user's measurement and is honored.
         explicit = bool(args.set_cfgs) and 'DATA_BACKEND' in args.set_cfgs
+        if not explicit and args.cfg:
+            import yaml
+            with open(args.cfg) as f:
+                explicit = 'DATA_BACKEND' in (yaml.safe_load(f) or {})
         if not explicit and str(cfg.DATA_BACKEND) == 'synth':
             cfg.DATA_BACKEND = 'pool'
         try:

@@ -399,10 +399,14 @@ class ShardedDeviceStore:
         the per-device pending counts that keep multi-host flushes in
         lockstep: the global jitted scatter needs the SAME number of staged
         rows per device on every host)."""
-        assert image.shape[1] <= self.w_bucket, \
-            'refresh row wider than the store bucket ({} > {}) — callers ' \
-            'must re-render (PoolShardedFeed.tick)'.format(
-                image.shape[1], self.w_bucket)
+        if image.shape[1] > self.w_bucket:
+            # a real raise, not an assert: under python -O a too-wide row
+            # would otherwise surface as an opaque broadcast error deep in
+            # the flush, with the pending queue poisoned
+            raise ValueError(
+                'refresh row wider than the store bucket ({} > {}) — '
+                'callers must re-render (PoolShardedFeed.tick)'.format(
+                    image.shape[1], self.w_bucket))
         self._pending[dev].append((row, image, label))
         if all(len(p) >= self._flush_every for p in self._pending):
             self.flush_refresh()
@@ -483,17 +487,25 @@ class PoolShardedFeed(_ShardedIndices):
                 # oversize rows: re-render, NEVER skip (a skip would break
                 # the per-device lockstep multi-host flushes depend on).
                 # The bucket is the rounded-up max over thousands of draws
-                # from this same distribution, so a miss is rare and a
-                # persistent miss is a config error worth crashing on.
-                for attempt in range(1000):
+                # from this same distribution, so a miss is rare. If the
+                # distribution genuinely outgrew the bucket, stage a BLANK
+                # row (empty label — valid CTC data) rather than raising:
+                # a unilateral raise on one host would leave its peers
+                # blocked forever in the next global collective, which is
+                # far harder to diagnose than this loud degradation.
+                for _ in range(64):
                     im, lab = _render_resized(self._render_rngs[dev])
                     if im.shape[1] <= self.store.w_bucket:
                         break
                 else:
-                    raise RuntimeError(
-                        'sharded pool refresh: 1000 renders in a row wider '
-                        'than the store bucket {} — the render distribution '
-                        'does not fit the store'.format(self.store.w_bucket))
+                    print('sharded pool refresh: 64 consecutive renders '
+                          'wider than the store bucket {} — staging a '
+                          'blank row; the render distribution no longer '
+                          'fits the store (rebuild it)'.format(
+                              self.store.w_bucket), flush=True)
+                    im = np.zeros((int(cfg.IMG_HEIGHT), self.store.w_bucket),
+                                  np.uint8)
+                    lab = ''
                 self.store.stage_refresh(dev, row, im, lab)
 
 
